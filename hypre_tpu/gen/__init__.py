@@ -1,0 +1,3 @@
+from hypre_tpu.gen.laplace import (  # noqa: F401
+    stencil_matrix, laplacian, laplacian_9pt, laplacian_27pt, difconv,
+)

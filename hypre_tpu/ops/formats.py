@@ -1,0 +1,201 @@
+"""Local sparse-matrix formats and SpMV kernels, designed for TPU.
+
+This is the seq_mv analog (ref: src/seq_mv/csr_matrix.h:33-58 and the
+device SpMV at src/seq_mv/csr_spmv_device.c:381) re-designed for XLA:
+
+* hypre stores CSR and picks a GPU row-group size by average row nnz
+  (csr_spmv_device.c:300-306).  On TPU the analogous shape-driven choice
+  is between two *static-shape* formats:
+
+  - `EllMatrix` — rows padded to a fixed width; SpMV is one (n, K)
+    gather + multiply + row-sum, fully vectorized on the VPU.  Right for
+    irregular AMG coarse grids and interpolation operators.
+
+  - `DiaMatrix` — diagonal (DIA) storage for stencil-like matrices
+    (offsets constant across rows, e.g. generated Laplacians).  SpMV is
+    a handful of shifted fused multiply-adds: zero gathers, pure
+    streaming through HBM at speed of light.  This is what the
+    structured-grid BoxLoop kernels (ref: src/struct_mv/boxloop_cuda.h)
+    become on TPU.
+
+* Conversion happens once at setup; the solve phase sees only static
+  shapes, so each AMG hierarchy compiles to a single XLA program.
+
+Padding convention: ELL pad slots have col = 0 and val = 0 so the
+matvec needs no masks (gathering x[0] * 0 contributes nothing).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cols", "vals"], meta_fields=["n_cols"])
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Padded-ELL sparse matrix: fixed-width rows.
+
+    cols: int32[n_rows, width]   column index per slot (0 for padding)
+    vals: real[n_rows, width]    value per slot (0 for padding)
+    n_cols: static int           logical number of columns
+    """
+
+    cols: jax.Array
+    vals: jax.Array
+    n_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vals"], meta_fields=["offsets", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal-storage sparse matrix for stencil-like operators.
+
+    vals:    real[n_diags, n_rows]  vals[d, i] = A[i, i + offsets[d]]
+             (zero where the entry is absent or out of range)
+    offsets: static tuple[int]      diagonal offsets (host-known)
+    n_cols:  static int
+    """
+
+    vals: jax.Array
+    offsets: tuple
+    n_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.vals.shape[1]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
+SparseOp = EllMatrix | DiaMatrix
+
+
+# ---------------------------------------------------------------------------
+# SpMV
+# ---------------------------------------------------------------------------
+
+def ell_matvec(A: EllMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for padded ELL.  One gather + FMA + row reduction."""
+    gathered = jnp.take(x, A.cols, axis=0)  # (n_rows, width)
+    return jnp.sum(A.vals * gathered, axis=1)
+
+
+def _shifted(x: jax.Array, d: int, n_rows: int) -> jax.Array:
+    """x logically indexed at i + d for i in [0, n_rows), zero-filled.
+
+    `x` has length n_cols; the result has length n_rows.  Static `d`
+    compiles to a pad+slice, no gather.
+    """
+    n_cols = x.shape[0]
+    lo = max(0, -d)          # rows [0, lo) read out of range on the left
+    start = max(0, d)        # first valid source index
+    stop = min(n_cols, n_rows + d)
+    core = x[start:stop]
+    hi = n_rows - lo - core.shape[0]
+    if lo or hi:
+        core = jnp.pad(core, (lo, max(hi, 0)))
+    return core[:n_rows]
+
+
+def dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x for DIA: sum over static diagonals of shifted FMAs."""
+    n = A.n_rows
+    y = jnp.zeros((n,), dtype=A.vals.dtype)
+    for k, d in enumerate(A.offsets):
+        y = y + A.vals[k] * _shifted(x, d, n)
+    return y
+
+
+def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
+    if isinstance(A, DiaMatrix):
+        return dia_matvec(A, x)
+    return ell_matvec(A, x)
+
+
+def matvec_t(A: EllMatrix, y: jax.Array) -> jax.Array:
+    """x = A.T @ y for padded ELL via scatter-add (segment_sum).
+
+    Mirrors hypre's transpose matvec (ref: src/parcsr_mv/
+    par_csr_matvec.c:368-480) — used for the restriction R = P^T when an
+    explicit transpose is not stored.  Prefer storing R explicitly; this
+    exists for completeness and testing.
+    """
+    contrib = (A.vals * y[:, None]).reshape(-1)
+    cols = A.cols.reshape(-1)
+    return jax.ops.segment_sum(contrib, cols, num_segments=A.n_cols)
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversions (setup phase, numpy)
+# ---------------------------------------------------------------------------
+
+def ell_from_scipy(A, real_dtype=None, min_width: int = 1) -> EllMatrix:
+    """Convert a scipy.sparse matrix to padded ELL (host-side, setup)."""
+    from hypre_tpu.core.config import get_config
+
+    cfg = get_config()
+    real_dtype = real_dtype or cfg.real_dtype
+    A = A.tocsr()
+    A.sort_indices()
+    n_rows, n_cols = A.shape
+    row_nnz = np.diff(A.indptr)
+    width = max(int(row_nnz.max(initial=0)), min_width)
+    cols = np.zeros((n_rows, width), dtype=np.int32)
+    vals = np.zeros((n_rows, width), dtype=np.dtype(real_dtype))
+    # scatter each row's entries into its padded slots
+    slot = np.arange(len(A.indices)) - np.repeat(A.indptr[:-1], row_nnz)
+    rows = np.repeat(np.arange(n_rows), row_nnz)
+    cols[rows, slot] = A.indices
+    vals[rows, slot] = A.data
+    return EllMatrix(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                     n_cols=int(n_cols))
+
+
+def dia_from_scipy(A, real_dtype=None, max_diags: int = 40) -> "DiaMatrix | None":
+    """Convert to DIA if the matrix is stencil-like, else None."""
+    from hypre_tpu.core.config import get_config
+
+    cfg = get_config()
+    real_dtype = real_dtype or cfg.real_dtype
+    A = A.tocoo()
+    offs = A.col.astype(np.int64) - A.row.astype(np.int64)
+    uniq = np.unique(offs)
+    if len(uniq) > max_diags:
+        return None
+    n_rows, n_cols = A.shape
+    vals = np.zeros((len(uniq), n_rows), dtype=np.dtype(real_dtype))
+    d_idx = np.searchsorted(uniq, offs)
+    vals[d_idx, A.row] = A.data
+    return DiaMatrix(vals=jnp.asarray(vals),
+                     offsets=tuple(int(d) for d in uniq), n_cols=int(n_cols))
+
+
+def sparse_op_from_scipy(A, real_dtype=None, prefer_dia: bool = True,
+                         dia_max_diags: int = 40) -> SparseOp:
+    """Pick the best TPU format for a matrix (the csr_spmv_device.c:300
+    row-group-size dispatch, re-imagined as a format choice)."""
+    if prefer_dia:
+        D = dia_from_scipy(A, real_dtype, max_diags=dia_max_diags)
+        if D is not None:
+            return D
+    return ell_from_scipy(A, real_dtype)

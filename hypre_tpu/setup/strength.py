@@ -1,0 +1,72 @@
+"""Classical strength-of-connection matrix.
+
+Semantics of hypre_BoomerAMGCreateS (ref: src/parcsr_ls/
+par_strength.c:531; host core around :230-420):
+
+For row i with diagonal d = a_ii:
+  row_scale = max_{j != i} a_ij   if d < 0
+            = min_{j != i} a_ij   if d >= 0
+  row_sum   = sum_j a_ij (including diagonal)
+  If |row_sum| > |d| * max_row_sum and max_row_sum < 1:
+      all connections weak (empty S row).
+  Else j is strong iff
+      a_ij > theta * row_scale    (d < 0)
+      a_ij < theta * row_scale    (d >= 0)
+  The diagonal is never in S.
+
+Defaults theta = 0.25, max_row_sum = 0.9
+(ref: src/parcsr_ls/par_amg.c:168,172).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from hypre_tpu.setup.utils import expand_rows, row_reduce
+
+
+def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
+                    max_row_sum: float = 0.9) -> sp.csr_matrix:
+    """Return the boolean strength pattern S (csr, data all ones)."""
+    A = A.tocsr()
+    n = A.shape[0]
+    diag = A.diagonal()
+    rows = expand_rows(A.indptr)
+    offdiag_mask = A.indices != rows
+
+    # row_scale over off-diagonal entries only
+    neg_inf = np.float64(-np.inf)
+    pos_inf = np.float64(np.inf)
+    d_neg = diag < 0
+    scale_max = _masked_row_reduce(A, offdiag_mask, "max", neg_inf)
+    scale_min = _masked_row_reduce(A, offdiag_mask, "min", pos_inf)
+    row_scale = np.where(d_neg, scale_max, scale_min)
+
+    row_sum = row_reduce(A.data, A.indptr, "sum", 0.0)
+
+    weak_all = np.zeros(n, dtype=bool)
+    if max_row_sum < 1.0:
+        weak_all = np.abs(row_sum) > np.abs(diag) * max_row_sum
+
+    thresh = theta * row_scale
+    strong = np.where(
+        d_neg[rows], A.data > thresh[rows], A.data < thresh[rows]
+    )
+    strong &= offdiag_mask
+    strong &= ~weak_all[rows]
+
+    S = sp.csr_matrix(
+        (np.ones(int(strong.sum())),
+         (rows[strong], A.indices[strong])), shape=A.shape)
+    S.sort_indices()
+    return S
+
+
+def _masked_row_reduce(A, mask, op, empty):
+    """Row-reduce over only the entries where mask is true."""
+    data = A.data[mask]
+    # rebuild indptr for the filtered entries
+    rows = expand_rows(A.indptr)[mask]
+    counts = np.bincount(rows, minlength=A.shape[0])
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return row_reduce(data, indptr, op, empty)

@@ -1,0 +1,2 @@
+from hypre_tpu.solvers.amg import BoomerAMG, AmgConfig  # noqa: F401
+from hypre_tpu.solvers.krylov import pcg, PcgResult  # noqa: F401

@@ -1,0 +1,20 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64.
+
+Correctness goldens follow hypre's default double-precision build;
+TPU runs use f32 (the --enable-single analog) and are exercised by
+bench.py on real hardware instead.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize may pre-register a TPU plugin; tests
+# always run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,77 @@
+"""Benchmark driver: BoomerAMG-PCG on the 256^3 7-pt Laplacian.
+
+Mirrors the reference's headline GPU benchmark (TEST_bench out.14:
+256^3, 1 GPU, l1-Jacobi smoothing, PCG; V100 0.706 s setup / 0.580 s
+solve at 20 iterations with ext+i interpolation — see BASELINE.md).
+Runs on the real TPU chip in f32 (the --enable-single analog).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline > 1 means faster than the V100 reference solve time.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "256"))
+V100_SOLVE_S = 0.580   # TEST_bench/benchmark_ij.perf.saved.lassen:41 (out.14)
+
+
+def main():
+    import jax
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+
+    n = GRID
+    t0 = time.time()
+    A = laplacian(n, n, n, dtype=np.float32)
+    t_gen = time.time() - t0
+
+    cfg = AmgConfig()
+    t0 = time.time()
+    amg = BoomerAMG(cfg).setup(A)
+    t_setup = time.time() - t0
+
+    op = sparse_op_from_scipy(A)
+    b = np.ones(A.shape[0], dtype=np.float32)
+
+    # compile + warm up
+    res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
+    jax.block_until_ready(res.x)
+    t0 = time.time()
+    res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
+    jax.block_until_ready(res.x)
+    t_solve = time.time() - t0
+
+    iters = int(res.iters)
+    nnz = A.nnz
+    cyc_nnz = nnz * amg.operator_complexity * iters
+    result = {
+        "metric": f"AMG-PCG solve wall, {n}^3 7-pt Laplacian "
+                  f"(1 chip, f32, interp {cfg.interp_type}, rlx 18)",
+        "value": round(t_solve, 4),
+        "unit": "s",
+        "vs_baseline": round(V100_SOLVE_S / t_solve, 3),
+        "extra": {
+            "iters": iters,
+            "relres": float(res.relres),
+            "setup_host_s": round(t_setup, 2),
+            "gen_s": round(t_gen, 2),
+            "levels": amg.level_sizes,
+            "operator_complexity": round(amg.operator_complexity, 3),
+            "approx_cycle_gnnz_per_s": round(cyc_nnz / t_solve / 1e9, 2),
+            "baseline": "V100 out.14 solve 0.580s (ext+i, 20 iters)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""Distributed ParCSR matrix/vector over a device mesh.
+
+The hypre_ParCSRMatrix analog (ref: src/parcsr_mv/par_csr_matrix.h:
+27-86): each shard owns a contiguous block of rows, stored as
+
+  diag: ELL block whose columns are LOCAL row indices (owned cols)
+  offd: ELL block whose columns index the shard's ghost buffer,
+        compressed exactly like hypre's col_map_offd
+  comm: the ppermute CommPkg that fills the ghost buffer
+
+but laid out as dense arrays with a leading shard axis
+(n_shards, n_local, width) so one SPMD program (shard_map over mesh
+axis "p") operates on every shard.  The distributed matvec
+(ref: src/parcsr_mv/par_csr_matvec.c:21-235) is then:
+
+  ghost = exchange(x_loc, comm)      # ppermute rounds on ICI
+  y = diag @ x_loc + offd @ ghost    # XLA overlaps diag with exchange
+
+Rectangular operators (interpolation P, restriction R) carry separate
+row/column partitions; the ghost exchange runs over the COLUMN
+partition's vectors.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.parallel.comm import CommPkg, build_comm_pkg, exchange
+from hypre_tpu.parallel.partition import RowPartition
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["diag_cols", "diag_vals", "offd_cols", "offd_vals",
+                      "comm"],
+         meta_fields=["row_part", "col_part"])
+@dataclasses.dataclass(frozen=True)
+class ParCSR:
+    """Sharded sparse matrix in split diag/offd padded-ELL form.
+
+    diag_cols: int32[n_shards, n_local, Kd]  local column indices
+    diag_vals: real [n_shards, n_local, Kd]
+    offd_cols: int32[n_shards, n_local, Ko]  ghost-buffer indices
+    offd_vals: real [n_shards, n_local, Ko]
+    comm:      CommPkg over the column partition
+    row_part / col_part: static RowPartition metadata
+    """
+
+    diag_cols: jax.Array
+    diag_vals: jax.Array
+    offd_cols: jax.Array
+    offd_vals: jax.Array
+    comm: CommPkg
+    row_part: RowPartition
+    col_part: RowPartition
+
+
+def parcsr_from_scipy(A, n_shards: int, real_dtype=None,
+                      row_part: RowPartition | None = None,
+                      col_part: RowPartition | None = None) -> ParCSR:
+    """Host-side conversion of a global scipy matrix into ParCSR form.
+
+    Pads rows/cols up to equal shard sizes; padded rows are identity
+    rows on the diagonal block (decoupled), so they never affect the
+    solution or inner products driven by zero-padded vectors.
+    """
+    from hypre_tpu.core.config import get_config
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    A = A.tocsr()
+    n_rows, n_cols = A.shape
+    rp = row_part or RowPartition.create(n_rows, n_shards)
+    cp_part = col_part or RowPartition.create(n_cols, n_shards)
+
+    diag_blocks = []   # per shard (cols, vals) local
+    offd_blocks = []
+    ghost_lists = []
+    square = n_rows == n_cols and rp.n_local == cp_part.n_local
+
+    for p in range(n_shards):
+        r0 = min(p * rp.n_local, n_rows)
+        r1 = min(r0 + rp.n_local, n_rows)
+        Ablk = A[r0:r1]
+        c0 = p * cp_part.n_local
+        c1 = c0 + cp_part.n_local
+        coo = Ablk.tocoo()
+        owned = (coo.col >= c0) & (coo.col < min(c1, n_cols))
+        # diag part (local col index)
+        d_rows, d_cols = coo.row[owned], coo.col[owned] - c0
+        d_vals = coo.data[owned]
+        # padding identity rows (square operators only)
+        n_real = r1 - r0
+        if square and n_real < rp.n_local:
+            pad = np.arange(n_real, rp.n_local)
+            d_rows = np.concatenate([d_rows, pad])
+            d_cols = np.concatenate([d_cols, pad])
+            d_vals = np.concatenate([d_vals, np.ones(len(pad), real_dtype)])
+        diag_blocks.append((d_rows, d_cols, d_vals, rp.n_local))
+        # offd part: compress ghost cols
+        o_rows = coo.row[~owned]
+        o_gcols = coo.col[~owned]
+        o_vals = coo.data[~owned]
+        ghosts = np.unique(o_gcols)
+        ghost_lists.append(ghosts)
+        o_cols = np.searchsorted(ghosts, o_gcols)
+        offd_blocks.append((o_rows, o_cols, o_vals, rp.n_local))
+
+    comm = build_comm_pkg(ghost_lists, cp_part, real_dtype)
+
+    dc, dv, kd = _stack_ell(diag_blocks, real_dtype)
+    oc, ov, ko = _stack_ell(offd_blocks, real_dtype,
+                            n_cols_pad=comm.n_ghost)
+    return ParCSR(diag_cols=dc, diag_vals=dv, offd_cols=oc, offd_vals=ov,
+                  comm=comm, row_part=rp, col_part=cp_part)
+
+
+def _stack_ell(blocks, real_dtype, n_cols_pad=None):
+    """Stack per-shard COO triples into (n_shards, n_local, K) ELL."""
+    width = 1
+    for rows, cols, vals, n_local in blocks:
+        if len(rows):
+            width = max(width, int(np.bincount(rows, minlength=n_local)
+                                   .max()))
+    n_shards = len(blocks)
+    n_local = blocks[0][3]
+    cell = np.zeros((n_shards, n_local, width), dtype=np.int32)
+    vell = np.zeros((n_shards, n_local, width), dtype=real_dtype)
+    for p, (rows, cols, vals, _) in enumerate(blocks):
+        if not len(rows):
+            continue
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        counts = np.bincount(rows, minlength=n_local)
+        slot = np.arange(len(rows)) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        cell[p, rows, slot] = cols
+        vell[p, rows, slot] = vals
+    return jnp.asarray(cell), jnp.asarray(vell), width
+
+
+# ---------------------------------------------------------------------------
+# SPMD kernels (run inside shard_map; arrays carry leading shard axis 1)
+# ---------------------------------------------------------------------------
+
+def par_matvec(A: ParCSR, x_loc: jax.Array) -> jax.Array:
+    """y_loc = A @ x (distributed).  x_loc is this shard's slice of the
+    column-partitioned operand (n_local_col,).  Must run inside a
+    shard_map over A.comm.axis_name."""
+    ghost = exchange(x_loc, A.comm)
+    y = jnp.sum(A.diag_vals[0] * jnp.take(x_loc, A.diag_cols[0], axis=0),
+                axis=1)
+    y = y + jnp.sum(A.offd_vals[0] * jnp.take(ghost, A.offd_cols[0], axis=0),
+                    axis=1)
+    return y
+
+
+def par_dot(x_loc, y_loc, axis_name="p"):
+    """Global inner product: local dot + psum (the MPI_Allreduce of
+    hypre_ParVectorInnerProd, ref: src/parcsr_mv/par_vector.c:513)."""
+    return jax.lax.psum(jnp.vdot(x_loc, y_loc), axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Host helpers
+# ---------------------------------------------------------------------------
+
+def shard_vector(v: np.ndarray, part: RowPartition) -> np.ndarray:
+    """Pad + reshape a global vector to (n_shards, n_local)."""
+    out = np.zeros((part.n_padded,), dtype=v.dtype)
+    out[:part.n_global] = v
+    return out.reshape(part.n_shards, part.n_local)
+
+
+def unshard_vector(v, part: RowPartition) -> np.ndarray:
+    return np.asarray(v).reshape(-1)[:part.n_global]

@@ -74,6 +74,47 @@ class AmgHierarchy:
     num_sweeps: int
 
 
+def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
+    """Host (numpy) setup: the level loop of hypre_BoomerAMGSetup
+    (ref: src/parcsr_ls/par_amg_setup.c:990-3155): strength → coarsen →
+    interp → RAP until the coarse grid is small enough.
+
+    Returns ([(A_l, P_l, R_l)], A_coarsest) as scipy matrices.
+    """
+    levels_host = []
+    Al = A.tocsr()
+    for _level in range(cfg.max_levels - 1):
+        n = Al.shape[0]
+        if n <= cfg.max_coarse_size:
+            break
+        S = strength_matrix(Al, cfg.strong_threshold, cfg.max_row_sum)
+        cf = pmis(S, seed=cfg.seed)
+        n_coarse = int((cf == C_PT).sum())
+        if n_coarse == 0 or n_coarse == n:
+            break
+        if cfg.interp_type == 3:
+            P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
+        elif cfg.interp_type == 6:
+            from hypre_tpu.setup.interp_ext import extpi_interp
+            P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
+        else:
+            raise ValueError(f"interp_type {cfg.interp_type} not built")
+        R = P.T.tocsr()
+        Ac = (R @ Al @ P).tocsr()
+        Ac.sort_indices()
+        levels_host.append((Al, P, R))
+        Al = Ac
+    return levels_host, Al
+
+
+def l1_option_for_relax(relax_type: int) -> int:
+    if relax_type == 18:
+        return 1
+    if relax_type in (13, 14, 8):
+        return 4
+    return 5  # plain diagonal (Jacobi types 0/7)
+
+
 class BoomerAMG:
     """Create/Setup/Solve object, mirroring the hypre solver shape
     ({Create, Setup(A,b,x), Solve(A,b,x)}, ref: SURVEY §1 object model).
@@ -91,31 +132,8 @@ class BoomerAMG:
 
     def setup(self, A: sp.csr_matrix) -> "BoomerAMG":
         cfg = self.config
-        levels_host = []
-        Al = A.tocsr()
-        n_fine_nnz = Al.nnz
-
-        for _level in range(cfg.max_levels - 1):
-            n = Al.shape[0]
-            if n <= cfg.max_coarse_size:
-                break
-            S = strength_matrix(Al, cfg.strong_threshold, cfg.max_row_sum)
-            cf = pmis(S, seed=cfg.seed)
-            n_coarse = int((cf == C_PT).sum())
-            if n_coarse == 0 or n_coarse == n:
-                break
-            if cfg.interp_type == 3:
-                P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
-            elif cfg.interp_type == 6:
-                from hypre_tpu.setup.interp_ext import extpi_interp
-                P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
-            else:
-                raise ValueError(f"interp_type {cfg.interp_type} not built")
-            R = P.T.tocsr()
-            Ac = (R @ Al @ P).tocsr()
-            Ac.sort_indices()
-            levels_host.append((Al, P, R))
-            Al = Ac
+        levels_host, Al = build_host_hierarchy(A, cfg)
+        n_fine_nnz = A.nnz
 
         # convert to device pytree
         dev_levels = []
@@ -145,12 +163,7 @@ class BoomerAMG:
         return self
 
     def _l1_option(self) -> int:
-        rt = self.config.relax_type
-        if rt == 18:
-            return 1
-        if rt in (13, 14, 8):
-            return 4
-        return 5  # plain diagonal (Jacobi types 0/7)
+        return l1_option_for_relax(self.config.relax_type)
 
     # -- solve --------------------------------------------------------
 

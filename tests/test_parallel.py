@@ -1,0 +1,93 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hypre_tpu.gen import laplacian
+from hypre_tpu.parallel import (
+    ParCSR, par_matvec, parcsr_from_scipy, shard_vector, unshard_vector,
+)
+from hypre_tpu.parallel.partition import RowPartition
+from hypre_tpu.solvers.amg import AmgConfig
+from hypre_tpu.solvers.par_amg import ParBoomerAMG
+
+
+def mesh8():
+    devs = jax.devices()
+    return Mesh(np.array(devs), ("p",))
+
+
+def _dist_matvec(A_scipy, n_shards, x):
+    mesh = mesh8()
+    Ap = parcsr_from_scipy(A_scipy, n_shards)
+    part = Ap.col_part
+    x_sh = jax.device_put(shard_vector(x, part),
+                          NamedSharding(mesh, P("p", None)))
+    from hypre_tpu.solvers.par_amg import hierarchy_specs  # noqa: F401
+
+    a_specs = jax.tree.map(lambda l: P("p", *([None] * (np.ndim(l) - 1))),
+                           Ap)
+    f = jax.jit(jax.shard_map(
+        lambda A, v: par_matvec(A, v[0])[None, :],
+        mesh=mesh, in_specs=(a_specs, P("p", None)),
+        out_specs=P("p", None), check_vma=False))
+    y = f(Ap, x_sh)
+    return unshard_vector(y, Ap.row_part)
+
+
+def test_par_matvec_square():
+    A = laplacian(12, 12, 12)  # 1728 rows over 8 shards
+    rng = np.random.RandomState(0)
+    x = rng.randn(A.shape[0])
+    y = _dist_matvec(A, 8, x)
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+
+
+def test_par_matvec_unaligned_sizes():
+    # n not divisible by 8 exercises the padding rows
+    A = laplacian(13, 7)
+    x = np.random.RandomState(1).randn(A.shape[0])
+    y = _dist_matvec(A, 8, x)
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+
+
+def test_par_matvec_rectangular():
+    # random rectangular operator (like interpolation P)
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(2)
+    Amat = sp.random(200, 77, density=0.05, random_state=rng, format="csr")
+    x = rng.randn(77)
+    mesh = mesh8()
+    Ap = parcsr_from_scipy(Amat, 8)
+    x_sh = jax.device_put(shard_vector(x, Ap.col_part),
+                          NamedSharding(mesh, P("p", None)))
+    a_specs = jax.tree.map(lambda l: P("p", *([None] * (np.ndim(l) - 1))),
+                           Ap)
+    f = jax.jit(jax.shard_map(
+        lambda A, v: par_matvec(A, v[0])[None, :],
+        mesh=mesh, in_specs=(a_specs, P("p", None)),
+        out_specs=P("p", None), check_vma=False))
+    y = unshard_vector(f(Ap, x_sh), Ap.row_part)
+    np.testing.assert_allclose(y, Amat @ x, rtol=1e-12)
+
+
+def test_par_amg_pcg_matches_single_chip():
+    A = laplacian(16, 16, 16)
+    b = np.ones(A.shape[0])
+    mesh = mesh8()
+    pamg = ParBoomerAMG(mesh, AmgConfig()).setup(A)
+    x, iters, relres = pamg.solve_pcg(b, tol=1e-8, max_iter=200)
+    assert relres <= 1e-8
+    true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-7
+
+    # same problem single-chip: same hierarchy semantics -> identical
+    # iteration count (deterministic PMIS hash)
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import BoomerAMG, pcg
+
+    amg = BoomerAMG(AmgConfig()).setup(A)
+    res = pcg(A=sparse_op_from_scipy(A), b=b, M=amg, tol=1e-8, max_iter=200)
+    assert int(res.iters) == iters

@@ -42,11 +42,14 @@ def main():
     op = sparse_op_from_scipy(A)
     b = np.ones(A.shape[0], dtype=np.float32)
 
-    # compile + warm up
+    # compile + warm up; the timed run uses a scaled rhs so the remote
+    # execution cache cannot return a memoized result (convergence is
+    # scaling-invariant, so the work is identical)
     res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
     jax.block_until_ready(res.x)
+    b2 = b * np.float32(1.0 + 1.0 / 1024.0)
     t0 = time.time()
-    res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
+    res = pcg(A=op, b=b2, M=amg, tol=1e-6, max_iter=100)
     jax.block_until_ready(res.x)
     t_solve = time.time() - t0
 

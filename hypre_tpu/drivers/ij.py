@@ -1,0 +1,194 @@
+"""ij driver — CLI-compatible equivalent of hypre's test/ij.c.
+
+Accepts the subset of the reference driver's ~300 flags that this
+library implements (ref: src/test/ij.c:2315-2585 usage; solver ID
+table around "-solver <ID>"), builds the problem, runs the solver, and
+prints the same golden-file tail the reference harness diffs on
+(ref: src/test/ij.c:4427-4430):
+
+    Iterations = %d
+    Final Relative Residual Norm = %e
+
+Usage examples (mirroring TEST_bench/benchmark_ij.jobs):
+    python -m hypre_tpu.drivers.ij -n 64 64 64 -pmis -interptype 6 \
+        -rlx 18 -solver 1
+    python -m hypre_tpu.drivers.ij -n 256 256 128 -27pt -solver 3
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="ij", add_help=True)
+    p.add_argument("-n", nargs=3, type=int, default=[33, 33, 33],
+                   metavar=("nx", "ny", "nz"))
+    p.add_argument("-P", nargs=3, type=int, default=[1, 1, 1],
+                   help="process grid (informational; sharding is mesh-wide)")
+    p.add_argument("-c", nargs=3, type=float, default=[1.0, 1.0, 1.0],
+                   metavar=("cx", "cy", "cz"))
+    p.add_argument("-a", nargs=3, type=float, default=[0.0, 0.0, 0.0],
+                   metavar=("ax", "ay", "az"), dest="conv")
+    p.add_argument("-laplacian", action="store_true", default=True)
+    p.add_argument("-9pt", dest="ninept", action="store_true")
+    p.add_argument("-27pt", dest="twentysevenpt", action="store_true")
+    p.add_argument("-difconv", action="store_true")
+    p.add_argument("-atype", type=int, default=0)
+    p.add_argument("-solver", type=int, default=1)
+    p.add_argument("-rlx", type=int, default=18)
+    p.add_argument("-w", type=float, default=1.0, dest="relax_weight")
+    p.add_argument("-ns", type=int, default=1, dest="num_sweeps")
+    p.add_argument("-interptype", type=int, default=6)
+    p.add_argument("-pmis", action="store_true", default=True)
+    p.add_argument("-hmis", action="store_true")
+    p.add_argument("-th", type=float, default=0.25, dest="theta")
+    p.add_argument("-mxrs", type=float, default=0.9, dest="max_row_sum")
+    p.add_argument("-Pmx", type=int, default=4, dest="p_max_elmts")
+    p.add_argument("-tr", type=float, default=0.0, dest="trunc_factor")
+    p.add_argument("-mxl", type=int, default=25, dest="max_levels")
+    p.add_argument("-mxc", type=int, default=9, dest="max_coarse_size")
+    p.add_argument("-tol", type=float, default=1e-8)
+    p.add_argument("-max_iter", type=int, default=1000)
+    p.add_argument("-mg_max_iter", type=int, default=100)
+    p.add_argument("-k", type=int, default=5, dest="k_dim")
+    p.add_argument("-seed", type=int, default=2747)
+    p.add_argument("-rhsone", action="store_true", default=True)
+    p.add_argument("-rhsrand", action="store_true")
+    p.add_argument("-x0rand", action="store_true")
+    p.add_argument("-exec_host", action="store_true",
+                   help="run the solve on CPU (f64)")
+    p.add_argument("-print_level", type=int, default=1)
+    return p
+
+
+def build_problem(args):
+    from hypre_tpu.gen import difconv, laplacian, laplacian_9pt, \
+        laplacian_27pt
+
+    nx, ny, nz = args.n
+    cx, cy, cz = args.c
+    if args.twentysevenpt:
+        A = laplacian_27pt(nx, ny, nz)
+        name = f"27pt Laplacian {nx}x{ny}x{nz}"
+    elif args.ninept:
+        A = laplacian_9pt(nx, ny)
+        name = f"9pt Laplacian {nx}x{ny}"
+    elif args.difconv or any(a != 0 for a in args.conv):
+        ax, ay, az = args.conv
+        A = difconv(nx, ny, nz, cx, cy, cz, ax, ay, az, args.atype)
+        name = f"convection-diffusion {nx}x{ny}x{nz}"
+    else:
+        A = laplacian(nx, ny, nz, cx, cy, cz)
+        name = f"Laplacian {nx}x{ny}x{nz}"
+    return A, name
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.exec_host:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from hypre_tpu.core.timing import timers
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.solvers import (
+        AmgConfig, BoomerAMG, bicgstab, cgnr, gmres, pcg,
+    )
+
+    A, name = build_problem(args)
+    n = A.shape[0]
+    print(f"  Laplacian problem: {name}, {n} rows, {A.nnz} nonzeros")
+
+    np_real = get_config().np_real
+    rng = np.random.RandomState(args.seed)
+    b = (rng.rand(n) if args.rhsrand else np.ones(n)).astype(np_real)
+    x0 = (rng.rand(n).astype(np_real) if args.x0rand else None)
+
+    amg_cfg = AmgConfig(
+        max_levels=args.max_levels, max_coarse_size=args.max_coarse_size,
+        strong_threshold=args.theta, max_row_sum=args.max_row_sum,
+        interp_type=args.interptype, trunc_factor=args.trunc_factor,
+        p_max_elmts=args.p_max_elmts, relax_type=args.rlx,
+        relax_weight=args.relax_weight, num_sweeps=args.num_sweeps,
+        seed=args.seed,
+    )
+
+    solver_id = args.solver
+    need_amg = solver_id in (0, 1, 3, 5, 9)
+    amg = None
+    timers.begin("Setup")
+    op = sparse_op_from_scipy(A)
+    if need_amg:
+        amg = BoomerAMG(amg_cfg).setup(A)
+    timers.end("Setup")
+    setup_time = timers.wall["Setup"]
+
+    if need_amg and args.print_level:
+        sizes = " ".join(str(s) for s in amg.level_sizes)
+        print(f"  AMG levels: {sizes}")
+        print(f"  Operator complexity = {amg.operator_complexity:.6f}")
+        print(f"  Grid complexity     = {amg.grid_complexity:.6f}")
+
+    names = {0: "AMG", 1: "AMG-PCG", 2: "DS-PCG", 3: "AMG-GMRES",
+             4: "DS-GMRES", 5: "AMG-CGNR", 6: "DS-CGNR",
+             9: "AMG-BiCGSTAB", 10: "DS-BiCGSTAB"}
+    print(f"Solver: {names.get(solver_id, solver_id)}")
+
+    timers.begin("Solve")
+    if solver_id == 0:
+        x, iters, relres = amg.solve(b, x0=x0, tol=args.tol,
+                                     max_iter=args.mg_max_iter)
+    elif solver_id in (1, 2):
+        # DS (diagonal scaling) preconditioner for solver 2
+        M = amg if solver_id == 1 else _diag_scale(A)
+        res = pcg(op, b, x0=x0, M=M, tol=args.tol, max_iter=args.max_iter)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (3, 4):
+        M = amg if solver_id == 3 else _diag_scale(A)
+        res = gmres(op, b, x0=x0, M=M, tol=args.tol,
+                    max_iter=args.max_iter, k_dim=args.k_dim)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (5, 6):
+        M = amg if solver_id == 5 else _diag_scale(A)
+        res = cgnr(op, b, x0=x0, M=M, tol=args.tol, max_iter=args.max_iter)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (9, 10):
+        M = amg if solver_id == 9 else _diag_scale(A)
+        res = bicgstab(op, b, x0=x0, M=M, tol=args.tol,
+                       max_iter=args.max_iter)
+        x, iters, relres = res.x, res.iters, res.relres
+    else:
+        print(f"solver id {solver_id} not implemented", file=sys.stderr)
+        return 1
+    jax.block_until_ready(x)
+    timers.end("Solve")
+
+    print()
+    print(f"Setup phase times:  wall clock time = {setup_time:.6f} seconds")
+    print(f"Solve phase times:  wall clock time = "
+          f"{timers.wall['Solve']:.6f} seconds")
+    print()
+    print(f"Iterations = {int(iters)}")
+    print(f"Final Relative Residual Norm = {float(relres):e}")
+    return 0
+
+
+def _diag_scale(A):
+    import jax.numpy as jnp
+
+    from hypre_tpu.core.config import get_config
+
+    dinv = jnp.asarray((1.0 / A.diagonal()).astype(get_config().np_real))
+    return lambda r: dinv * r
+
+
+if __name__ == "__main__":
+    sys.exit(main())

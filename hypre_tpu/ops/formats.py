@@ -87,7 +87,9 @@ class DiaMatrix:
         return (self.n_rows, self.n_cols)
 
 
-SparseOp = EllMatrix | DiaMatrix
+from hypre_tpu.ops.gstell import GstEllMatrix  # noqa: E402
+
+SparseOp = EllMatrix | DiaMatrix | GstEllMatrix
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +131,16 @@ def dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
 def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
     if isinstance(A, DiaMatrix):
         return dia_matvec(A, x)
+    if isinstance(A, GstEllMatrix):
+        import jax as _jax
+
+        from hypre_tpu.ops.gstell import (
+            gstell_matvec, gstell_matvec_reference,
+        )
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            return gstell_matvec(A, x)
+        return gstell_matvec_reference(A, x)
     return ell_matvec(A, x)
 
 
@@ -191,9 +203,18 @@ def dia_from_scipy(A, real_dtype=None, max_diags: int = 40) -> "DiaMatrix | None
 
 
 def sparse_op_from_scipy(A, real_dtype=None, prefer_dia: bool = True,
-                         dia_max_diags: int = 40) -> SparseOp:
+                         dia_max_diags: int = 40,
+                         prefer_gstell: bool = True) -> SparseOp:
     """Pick the best TPU format for a matrix (the csr_spmv_device.c:300
-    row-group-size dispatch, re-imagined as a format choice)."""
+    row-group-size dispatch, re-imagined as a format choice):
+    GST-ELL (Pallas lane-shuffle gather) when the matrix is banded
+    enough, DIA for pure stencils when preferred, jnp ELL otherwise."""
+    if prefer_gstell:
+        from hypre_tpu.ops.gstell import gstell_from_scipy
+
+        Gm = gstell_from_scipy(A, real_dtype)
+        if Gm is not None:
+            return Gm
     if prefer_dia:
         D = dia_from_scipy(A, real_dtype, max_diags=dia_max_diags)
         if D is not None:

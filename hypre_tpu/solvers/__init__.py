@@ -1,2 +1,5 @@
 from hypre_tpu.solvers.amg import BoomerAMG, AmgConfig  # noqa: F401
 from hypre_tpu.solvers.krylov import pcg, PcgResult  # noqa: F401
+from hypre_tpu.solvers.krylov_more import (  # noqa: F401
+    gmres, bicgstab, cgnr, KrylovResult,
+)

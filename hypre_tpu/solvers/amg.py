@@ -48,23 +48,31 @@ class AmgConfig:
     num_sweeps: int = 1
     cycle_type: str = "V"
     seed: int = 2747
+    # Chebyshev smoothing (relax_type 16; ref: par_cheby.c:65-170)
+    cheby_order: int = 2
+    cheby_fraction: float = 0.3
+    cheby_eig_iters: int = 20
     # format selection
     prefer_dia: bool = True
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["A", "P", "R", "dinv"], meta_fields=[])
+         data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds"],
+         meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
     A: SparseOp
-    P: Optional[EllMatrix]    # None on the coarsest level
-    R: Optional[EllMatrix]    # explicit P^T (keepT semantics)
+    P: Optional[SparseOp]     # None on the coarsest level
+    R: Optional[SparseOp]     # explicit P^T (keepT semantics)
     dinv: Optional[jax.Array]  # 1 / smoother-diagonal (l1 norms)
+    cheby_ds: Optional[jax.Array] = None       # 1/sqrt(diag)
+    cheby_bounds: Optional[jax.Array] = None   # [lmax, lmin] of scaled op
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "c_lu", "c_piv"],
-         meta_fields=["relax_weight", "num_sweeps"])
+         meta_fields=["relax_weight", "num_sweeps", "relax_type",
+                      "cheby_order"])
 @dataclasses.dataclass(frozen=True)
 class AmgHierarchy:
     levels: tuple            # tuple[AmgLevel]
@@ -72,6 +80,8 @@ class AmgHierarchy:
     c_piv: jax.Array
     relax_weight: float
     num_sweeps: int
+    relax_type: int = 18
+    cheby_order: int = 2
 
 
 def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
@@ -136,14 +146,22 @@ class BoomerAMG:
         n_fine_nnz = A.nnz
 
         # convert to device pytree
+        real = get_config().np_real
         dev_levels = []
         for Ah, Ph, Rh in levels_host:
             dinv = 1.0 / l1_norms(Ah, self._l1_option())
+            ds = bounds = None
+            if cfg.relax_type == 16:
+                ds_np, b_np = chebyshev_setup(Ah, cfg.cheby_fraction,
+                                              cfg.cheby_eig_iters)
+                ds = jnp.asarray(ds_np.astype(real))
+                bounds = jnp.asarray(b_np.astype(real))
             dev_levels.append(AmgLevel(
                 A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
-                P=ell_from_scipy(Ph),
-                R=ell_from_scipy(Rh),
-                dinv=jnp.asarray(dinv.astype(get_config().np_real)),
+                P=sparse_op_from_scipy(Ph, prefer_dia=False),
+                R=sparse_op_from_scipy(Rh, prefer_dia=False),
+                dinv=jnp.asarray(dinv.astype(real)),
+                cheby_ds=ds, cheby_bounds=bounds,
             ))
         # coarsest level
         dev_levels.append(AmgLevel(
@@ -154,7 +172,8 @@ class BoomerAMG:
 
         self.hierarchy = AmgHierarchy(
             levels=tuple(dev_levels), c_lu=c_lu, c_piv=c_piv,
-            relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps)
+            relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps,
+            relax_type=cfg.relax_type, cheby_order=cfg.cheby_order)
 
         self.level_sizes = [l[0].shape[0] for l in levels_host] + [Al.shape[0]]
         self.level_nnz = [l[0].nnz for l in levels_host] + [Al.nnz]
@@ -181,15 +200,70 @@ class BoomerAMG:
         return _amg_solve_jit(h, b, x, float(tol), int(max_iter))
 
 
-def _relax(A: SparseOp, dinv, w, f, u, num_sweeps: int):
-    """l1-Jacobi / weighted-Jacobi sweeps: u += w * dinv * (f - A u)
-    (ref: par_relax.c hypre_BoomerAMGRelax7Jacobi / 18WeightedL1Jacobi).
-    The first sweep with u = 0 folds to u = w * dinv * f."""
-    for s in range(num_sweeps):
+def chebyshev_setup(A_scipy, fraction: float, eig_iters: int):
+    """Host-side Chebyshev precompute: ds = 1/sqrt(diag) and spectral
+    bounds of the symmetrically scaled operator D^{-1/2} A D^{-1/2}
+    (ref: par_cheby.c:65-170; eig estimate par_relax_more.c:137-170).
+    Power iteration with a 1.05 safety factor; lmin = fraction * lmax
+    (cheby_fraction default 0.3)."""
+    diag = A_scipy.diagonal()
+    ds = 1.0 / np.sqrt(np.abs(diag))
+    rng = np.random.RandomState(7919)
+    v = rng.rand(A_scipy.shape[0])
+    lmax = 1.0
+    for _ in range(eig_iters):
+        w = ds * (A_scipy @ (ds * v))
+        lmax = np.linalg.norm(w)
+        v = w / max(lmax, 1e-300)
+    lmax *= 1.05
+    return ds, np.array([lmax, fraction * lmax])
+
+
+def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
+           cheby_order: int = 2):
+    """Smoother dispatch (ref: par_relax.c:24 hypre_BoomerAMGRelax).
+
+    18 / 7 / 0: (l1-)Jacobi sweeps u += w * dinv * (f - A u); first
+    sweep with u = 0 folds to u = w * dinv * f.
+    16: Chebyshev polynomial on the scaled operator."""
+    if relax_type == 16:
+        return _cheby_relax(lvl, f, u, cheby_order, num_sweeps)
+    A, dinv = lvl.A, lvl.dinv
+    for _ in range(num_sweeps):
         if u is None:
             u = w * dinv * f
         else:
             u = u + w * dinv * (f - matvec(A, u))
+    return u
+
+
+def _cheby_relax(lvl: AmgLevel, f, u, order: int, num_sweeps: int):
+    """Chebyshev smoothing (relax 16) on B = D^{-1/2} A D^{-1/2} over
+    [lmin, lmax] (ref: par_cheby.c hypre_ParCSRRelax_Cheby_Solve)."""
+    A, ds = lvl.A, lvl.cheby_ds
+    lmax = lvl.cheby_bounds[0]
+    lmin = lvl.cheby_bounds[1]
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def op(z):
+        return ds * matvec(A, ds * z)
+
+    for _ in range(num_sweeps):
+        u_s = None if u is None else u / ds
+        f_s = ds * f
+        r = f_s if u_s is None else f_s - op(u_s)
+        p = r / theta
+        u_s = p if u_s is None else u_s + p
+        rho_old = 1.0 / sigma
+        for _k in range(1, order):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            r = f_s - op(u_s)
+            p = rho * rho_old * p + (2.0 * rho / delta) * r
+            u_s = u_s + p
+            rho_old = rho
+        u = ds * u_s
     return u
 
 
@@ -207,7 +281,7 @@ def amg_cycle(h: AmgHierarchy, f: jax.Array) -> jax.Array:
     # down sweep
     for l in range(nl - 1):
         lvl = levels[l]
-        u = _relax(lvl.A, lvl.dinv, cfgw, fs[l], None, ns)
+        u = _relax(lvl, h.relax_type, cfgw, fs[l], None, ns, h.cheby_order)
         r = fs[l] - matvec(lvl.A, u)
         fc = matvec(lvl.R, r)
         us.append(u)
@@ -220,7 +294,7 @@ def amg_cycle(h: AmgHierarchy, f: jax.Array) -> jax.Array:
     for l in range(nl - 2, -1, -1):
         lvl = levels[l]
         u = us[l] + matvec(lvl.P, uc)
-        u = _relax(lvl.A, lvl.dinv, cfgw, fs[l], u, ns)
+        u = _relax(lvl, h.relax_type, cfgw, fs[l], u, ns, h.cheby_order)
         uc = u
     return uc
 

@@ -66,3 +66,13 @@ def _op(A):
     from hypre_tpu.ops.formats import sparse_op_from_scipy
 
     return sparse_op_from_scipy(A)
+
+
+def test_amg_pcg_chebyshev():
+    # Chebyshev smoother (relax 16, TEST_bench out.22 config family)
+    A = laplacian(16, 16, 16)
+    amg = BoomerAMG(AmgConfig(relax_type=16, interp_type=6)).setup(A)
+    b = np.ones(A.shape[0])
+    res = pcg(A=_op(A), b=b, M=amg, tol=1e-8, max_iter=100)
+    assert float(res.relres) <= 1e-8
+    assert int(res.iters) <= 15, f"cheby AMG-PCG took {int(res.iters)}"

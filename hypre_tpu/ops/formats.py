@@ -87,9 +87,45 @@ class DiaMatrix:
         return (self.n_rows, self.n_cols)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vals"], meta_fields=["n_rows", "n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Dense storage for small coarse-grid operators: one MXU matmul
+    beats any sparse formulation below a few thousand rows (the analog
+    of hypre switching small problems to LAPACK paths)."""
+
+    vals: jax.Array          # (rows_pad, cols_pad), 128-aligned
+    n_rows: int
+    n_cols: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+
+def dense_from_scipy(A, real_dtype=None) -> DenseMatrix:
+    from hypre_tpu.core.config import get_config
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    n_rows, n_cols = A.shape
+    rp = max(-(-n_rows // 128) * 128, 128)
+    cp = max(-(-n_cols // 128) * 128, 128)
+    dense = np.zeros((rp, cp), dtype=real_dtype)
+    dense[:n_rows, :n_cols] = A.toarray()
+    return DenseMatrix(vals=jnp.asarray(dense), n_rows=int(n_rows),
+                       n_cols=int(n_cols))
+
+
+def dense_matvec(A: DenseMatrix, x: jax.Array) -> jax.Array:
+    xp = jnp.pad(x.astype(A.vals.dtype), (0, A.vals.shape[1] - x.shape[0]))
+    y = jnp.dot(A.vals, xp, preferred_element_type=A.vals.dtype)
+    return y[:A.n_rows]
+
+
 from hypre_tpu.ops.gstell import GstEllMatrix  # noqa: E402
 
-SparseOp = EllMatrix | DiaMatrix | GstEllMatrix
+SparseOp = EllMatrix | DiaMatrix | GstEllMatrix | DenseMatrix
 
 
 # ---------------------------------------------------------------------------
@@ -129,6 +165,8 @@ def dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
 
 
 def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
+    if isinstance(A, DenseMatrix):
+        return dense_matvec(A, x)
     if isinstance(A, DiaMatrix):
         return dia_matvec(A, x)
     if isinstance(A, GstEllMatrix):
@@ -207,8 +245,11 @@ def sparse_op_from_scipy(A, real_dtype=None, prefer_dia: bool = True,
                          prefer_gstell: bool = True) -> SparseOp:
     """Pick the best TPU format for a matrix (the csr_spmv_device.c:300
     row-group-size dispatch, re-imagined as a format choice):
-    GST-ELL (Pallas lane-shuffle gather) when the matrix is banded
-    enough, DIA for pure stencils when preferred, jnp ELL otherwise."""
+    dense (MXU) for small operators, GST-ELL (Pallas lane-shuffle
+    gather) when the matrix is banded enough, DIA for pure stencils
+    when preferred, jnp ELL otherwise."""
+    if max(A.shape) <= 2048 and min(A.shape) > 0:
+        return dense_from_scipy(A, real_dtype)
     if prefer_gstell:
         from hypre_tpu.ops.gstell import gstell_from_scipy
 

@@ -42,7 +42,7 @@ import numpy as np
 GAP = 64          # offset-gap threshold that splits clusters
 CHUNK = 128       # rows per chunk (one lane dim)
 CH_STEP = 8       # chunks per pallas grid step
-MAX_C = 16        # max window width (x128); above -> no GST-ELL
+MAX_C = 32        # max window width (x128); above -> no GST-ELL
 MAX_G = 40        # max octet groups; above -> no GST-ELL
 VMEM_X_LIMIT = 6 * 1024 * 1024
 

@@ -51,7 +51,8 @@ def test_amg_level_matrices():
 
 def test_random_matrix_rejected():
     rng = np.random.RandomState(1)
-    R = sp.random(3000, 3000, density=0.01, random_state=rng, format="csr")
+    R = sp.random(20000, 20000, density=0.002, random_state=rng,
+                  format="csr")
     assert gstell_from_scipy(R) is None  # not banded -> fallback
 
 

@@ -62,15 +62,21 @@ def test_dia_matvec_rectangular_shifts():
 
 
 def test_format_selection():
+    from hypre_tpu.ops.formats import DenseMatrix
     from hypre_tpu.ops.gstell import GstEllMatrix
 
     A = laplacian_27pt(6, 6, 6)
     op = sparse_op_from_scipy(A)
-    assert isinstance(op, (DiaMatrix, GstEllMatrix))
-    op_d = sparse_op_from_scipy(A, prefer_gstell=False)
+    assert isinstance(op, DenseMatrix)  # small -> dense MXU path
+    np.testing.assert_allclose(np.asarray(matvec(op, np.ones(216))),
+                               A @ np.ones(216), rtol=1e-12)
+    A2 = laplacian_27pt(16, 16, 16)
+    op_l = sparse_op_from_scipy(A2)
+    assert isinstance(op_l, (DiaMatrix, GstEllMatrix))
+    op_d = sparse_op_from_scipy(A2, prefer_gstell=False)
     assert isinstance(op_d, DiaMatrix)  # 27 static offsets
     R = random_csr(np.random.RandomState(3), 100, 100, 0.05)
-    op2 = sparse_op_from_scipy(R, prefer_gstell=False, prefer_dia=False)
+    op2 = ell_from_scipy(R)
     assert isinstance(op2, EllMatrix)
     x = np.random.RandomState(4).randn(100)
     np.testing.assert_allclose(np.asarray(matvec(op2, x)), R @ x, rtol=1e-12)

@@ -31,7 +31,8 @@ from hypre_tpu.setup.utils import expand_rows
 
 def direct_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
                   trunc_factor: float = 0.0,
-                  max_elmts: int = 4) -> sp.csr_matrix:
+                  max_elmts: int = 4,
+                  strong_mask: np.ndarray | None = None) -> sp.csr_matrix:
     """Build P (n_fine x n_coarse) by direct interpolation."""
     A = A.tocsr()
     n = A.shape[0]
@@ -44,9 +45,10 @@ def direct_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     offd = A.indices != rows
 
     # strong pattern as a boolean per A entry: entry (i,j) strong iff
-    # j in S_i.  S has the same row space; build a lookup via a boolean
-    # matrix product-free trick: mark pairs using a hashable key
-    strong = _entries_in_pattern(A, S)
+    # j in S_i — supplied by strength_matrix(return_mask=True) or
+    # reconstructed here.
+    strong = strong_mask if strong_mask is not None \
+        else _entries_in_pattern(A, S)
 
     pos = A.data > 0
     neg = A.data < 0

@@ -31,7 +31,8 @@ from hypre_tpu.setup.utils import expand_rows
 
 def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
                  trunc_factor: float = 0.0,
-                 max_elmts: int = 4) -> sp.csr_matrix:
+                 max_elmts: int = 4,
+                 strong_mask: np.ndarray | None = None) -> sp.csr_matrix:
     A = A.tocsr()
     A.sort_indices()
     n = A.shape[0]
@@ -78,7 +79,10 @@ def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     d = diag.copy()  # running "diagonal" accumulator per row
 
     # strong-F membership per A entry: (i, j) with j in S_i and F
-    strong_f_entry = offd & f_row_entry & _entries_in_pattern(A, Sf)
+    if strong_mask is not None:
+        strong_f_entry = strong_mask & is_f[A.indices] & f_row_entry
+    else:
+        strong_f_entry = offd & f_row_entry & _entries_in_pattern(A, Sf)
 
     # --- weak part: everything not pattern, not strong-F, not SF ----
     weak_sel = (offd & f_row_entry & ~direct_sel & ~strong_f_entry

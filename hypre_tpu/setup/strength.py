@@ -26,8 +26,12 @@ from hypre_tpu.setup.utils import expand_rows, row_reduce
 
 
 def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
-                    max_row_sum: float = 0.9) -> sp.csr_matrix:
-    """Return the boolean strength pattern S (csr, data all ones)."""
+                    max_row_sum: float = 0.9, return_mask: bool = False):
+    """Return the boolean strength pattern S (csr, data all ones).
+
+    With return_mask=True also returns the boolean mask over the
+    (sorted CSR) entries of A marking strong connections — interp
+    builders consume it directly instead of re-deriving membership."""
     A = A.tocsr()
     n = A.shape[0]
     diag = A.diagonal()
@@ -59,6 +63,8 @@ def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
         (np.ones(int(strong.sum())),
          (rows[strong], A.indices[strong])), shape=A.shape)
     S.sort_indices()
+    if return_mask:
+        return S, strong
     return S
 
 

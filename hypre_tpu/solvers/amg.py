@@ -97,16 +97,19 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
         n = Al.shape[0]
         if n <= cfg.max_coarse_size:
             break
-        S = strength_matrix(Al, cfg.strong_threshold, cfg.max_row_sum)
+        S, strong_mask = strength_matrix(Al, cfg.strong_threshold,
+                                         cfg.max_row_sum, return_mask=True)
         cf = pmis(S, seed=cfg.seed)
         n_coarse = int((cf == C_PT).sum())
         if n_coarse == 0 or n_coarse == n:
             break
         if cfg.interp_type == 3:
-            P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
+            P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
+                              strong_mask=strong_mask)
         elif cfg.interp_type == 6:
             from hypre_tpu.setup.interp_ext import extpi_interp
-            P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts)
+            P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
+                             strong_mask=strong_mask)
         else:
             raise ValueError(f"interp_type {cfg.interp_type} not built")
         R = P.T.tocsr()

@@ -1,0 +1,401 @@
+"""PFMG — semicoarsening geometric multigrid on structured grids.
+
+TPU-native re-design of hypre's PFMG (ref: src/struct_ls/pfmg_setup.c:
+63, pfmg_solve.c:31).  Everything that was a BoxLoop kernel becomes a
+3-D XLA expression; the stencil-fused RAP (ref: pfmg3_setup_rap.c, the
+per-stencil unrolled kernels) is replaced by one general Galerkin
+stencil composition evaluated with strided numpy at setup.
+
+Algorithm per level (ref: pfmg_setup.c:216-300):
+  * pick the coarsening direction with the strongest coupling (the
+    dxyz anisotropy rule),
+  * coarsen by 2 (coarse planes at even fine indices),
+  * interpolation collapses the stencil perpendicular to cdir:
+      w_minus = -(sum of coefs with off_d < 0) / (sum with off_d = 0)
+    (ref: pfmg_setup_interp.c),
+  * Ac = R A P via the semicoarsening Galerkin composition,
+  * smooth with weighted Jacobi (hypre default relax_type 1,
+    ref: pfmg.c:33) or red-black Gauss-Seidel — both fully data
+    parallel on the VPU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.struct.grid import StructMatrix, _np_shift, struct_matvec
+
+
+@dataclasses.dataclass
+class PfmgConfig:
+    max_levels: int = 25
+    max_coarse_size: int = 32     # stop when total points fall below
+    relax_type: int = 1           # 0 Jacobi, 1 wJacobi, 2 RB-GS
+    jacobi_weight: float = 2.0 / 3.0
+    num_pre_relax: int = 1
+    num_post_relax: int = 1
+    skip_relax: bool = False
+    tol: float = 1e-6
+    max_iter: int = 100
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A", "wm", "wp", "dinv", "rb_mask"],
+         meta_fields=["cdir", "fine_shape", "coarse_shape"])
+@dataclasses.dataclass(frozen=True)
+class PfmgLevel:
+    A: StructMatrix
+    wm: Optional[jax.Array]     # interp weights at odd planes (fine grid)
+    wp: Optional[jax.Array]
+    dinv: jax.Array             # 1 / diagonal
+    rb_mask: jax.Array          # checkerboard mask for RB-GS
+    cdir: int                   # coarsening axis (0=z,1=y,2=x); -1 coarsest
+    fine_shape: tuple
+    coarse_shape: tuple
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["levels", "c_dense_inv"],
+         meta_fields=["relax_type", "weight", "n_pre", "n_post"])
+@dataclasses.dataclass(frozen=True)
+class PfmgHierarchy:
+    levels: tuple
+    c_dense_inv: jax.Array      # dense inverse of coarsest operator
+    relax_type: int
+    weight: float
+    n_pre: int
+    n_post: int
+
+
+class PFMG:
+    def __init__(self, config: PfmgConfig | None = None):
+        self.config = config or PfmgConfig()
+        self.hierarchy: PfmgHierarchy | None = None
+        self.level_shapes: list[tuple] = []
+
+    # -- setup --------------------------------------------------------
+
+    def setup(self, A: StructMatrix) -> "PFMG":
+        cfg = self.config
+        from hypre_tpu.core.config import get_config
+
+        real = get_config().np_real
+        Ad = {off: np.asarray(A.coefs[k], dtype=real)
+              for k, off in enumerate(A.offsets)}
+        shape = tuple(A.shape)
+
+        levels = []
+        for _ in range(cfg.max_levels - 1):
+            if int(np.prod(shape)) <= cfg.max_coarse_size:
+                break
+            cdir = _pick_cdir(Ad, shape)
+            if cdir is None or shape[cdir] < 3:
+                break
+            wm, wp = _interp_weights(Ad, shape, cdir, real)
+            Ac, cshape = _semicoarsen_rap(Ad, wm, wp, cdir, shape)
+            levels.append(self._device_level(Ad, shape, cdir, wm, wp,
+                                             cshape, real))
+            Ad, shape = Ac, cshape
+
+        levels.append(self._device_level(Ad, shape, -1, None, None,
+                                         shape, real))
+        dense = _stencil_to_dense(Ad, shape, real)
+        c_inv = jnp.asarray(np.linalg.inv(dense).astype(real))
+
+        self.hierarchy = PfmgHierarchy(
+            levels=tuple(levels), c_dense_inv=c_inv,
+            relax_type=cfg.relax_type, weight=cfg.jacobi_weight,
+            n_pre=cfg.num_pre_relax, n_post=cfg.num_post_relax)
+        self.level_shapes = [lvl.fine_shape for lvl in levels]
+        return self
+
+    def _device_level(self, Ad, shape, cdir, wm, wp, cshape, real):
+        offs = tuple(sorted(Ad.keys()))
+        coefs = np.stack([Ad[o] for o in offs]).astype(real)
+        diag = Ad.get((0, 0, 0))
+        dinv = 1.0 / np.where(diag != 0, diag, 1.0)
+        zz, yy, xx = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
+                                 np.arange(shape[2]), indexing="ij")
+        rb = ((zz + yy + xx) % 2 == 0)
+        return PfmgLevel(
+            A=StructMatrix(coefs=jnp.asarray(coefs), offsets=offs,
+                           shape=shape),
+            wm=None if wm is None else jnp.asarray(wm.astype(real)),
+            wp=None if wp is None else jnp.asarray(wp.astype(real)),
+            dinv=jnp.asarray(dinv.astype(real)),
+            rb_mask=jnp.asarray(rb),
+            cdir=cdir, fine_shape=tuple(shape), coarse_shape=tuple(cshape))
+
+    # -- solve --------------------------------------------------------
+
+    def solve(self, b, x0=None, tol=None, max_iter=None):
+        cfg = self.config
+        h = self.hierarchy
+        b = jnp.asarray(b)
+        x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+        return _pfmg_solve_jit(h, b, x,
+                               float(tol if tol is not None else cfg.tol),
+                               int(max_iter or cfg.max_iter))
+
+    def precondition(self, r: jax.Array) -> jax.Array:
+        return pfmg_cycle(self.hierarchy, r)
+
+
+# ---------------------------------------------------------------------------
+# setup helpers (host)
+# ---------------------------------------------------------------------------
+
+def _pick_cdir(Ad, shape):
+    """Direction of strongest coupling (smallest effective grid
+    spacing; ref: pfmg_setup.c:216-300 dxyz logic)."""
+    strengths = []
+    for d in range(3):
+        if shape[d] < 3:
+            strengths.append(-np.inf)
+            continue
+        s = 0.0
+        for off, c in Ad.items():
+            if off[d] != 0 and all(off[e] == 0 for e in range(3) if e != d):
+                s += float(np.abs(c).mean())
+        strengths.append(s)
+    best = int(np.argmax(strengths))
+    if strengths[best] <= 0:
+        return None
+    return best
+
+
+def _interp_weights(Ad, shape, d, real):
+    """Collapsed-stencil interpolation weights at every grid point
+    (used at odd planes): w_m = -sum(off_d<0)/sum(off_d==0)."""
+    neg = np.zeros(shape, dtype=real)
+    pos = np.zeros(shape, dtype=real)
+    mid = np.zeros(shape, dtype=real)
+    for off, c in Ad.items():
+        if off[d] < 0:
+            neg += c
+        elif off[d] > 0:
+            pos += c
+        else:
+            mid += c
+    mid = np.where(mid != 0, mid, 1.0)
+    return (-neg / mid).astype(real), (-pos / mid).astype(real)
+
+
+def _sample(arr, d, delta, off_perp, fine_shape, coarse_n):
+    """array over the coarse grid: arr at fine pos (2I + delta) along
+    axis d, shifted by off_perp (a 3-tuple, 0 in axis d) elsewhere."""
+    a = _np_shift(arr, off_perp, fine_shape)
+    n_f = fine_shape[d]
+    out_shape = list(fine_shape)
+    out_shape[d] = coarse_n
+    out = np.zeros(out_shape, dtype=arr.dtype)
+    i_lo = max(0, -(-(-delta) // 2))           # ceil(-delta/2)
+    i_lo = max(0, -(delta // 2) if delta < 0 else 0)
+    # fine index f = 2I + delta must satisfy 0 <= f < n_f
+    i_min = max(0, (-delta + 1) // 2)
+    i_max = min(coarse_n, (n_f - delta + 1) // 2)
+    if i_max <= i_min:
+        return out
+    src = [slice(None)] * 3
+    dst = [slice(None)] * 3
+    src[d] = slice(2 * i_min + delta, 2 * (i_max - 1) + delta + 1, 2)
+    dst[d] = slice(i_min, i_max)
+    out[tuple(dst)] = a[tuple(src)]
+    return out
+
+
+def _semicoarsen_rap(Ad, wm, wp, d, shape):
+    """Galerkin coarse stencil for semicoarsening by 2 along axis d.
+
+    Ac[I] entries from Ac = R A P with
+      (P u_c)[f] = u_c[f/2]                       (f_d even)
+                 = wm(f) u_c[(f-1)/2] + wp(f) u_c[(f+1)/2]   (odd)
+      (R r)[I]   = r[2I] + wm(2I+1) r[2I+1] + wp(2I-1) r[2I-1]
+    """
+    n_f = shape[d]
+    n_c = (n_f + 1) // 2
+    cshape = list(shape)
+    cshape[d] = n_c
+    cshape = tuple(cshape)
+
+    ones = np.ones(shape, dtype=next(iter(Ad.values())).dtype)
+    # R terms: (t, weight array on fine grid)
+    r_terms = [(0, ones), (1, wm), (-1, wp)]
+    # P terms at fine index f: list of (s, weight at f) with coarse
+    # index (f + s)/2;  s chosen by parity of f
+    out = {}
+    for t, rw in r_terms:
+        for off, ac in Ad.items():
+            o_d = off[d]
+            off_perp = tuple(0 if e == d else off[e] for e in range(3))
+            for s, pw in [(0, None), (-1, wm), (1, wp)]:
+                tot = t + o_d + s
+                if tot % 2 != 0:
+                    continue
+                # parity check: s=0 requires f'' = 2I+t+o_d even
+                # (i.e. t+o_d even); s=±1 requires it odd
+                if (s == 0) != ((t + o_d) % 2 == 0):
+                    continue
+                O_d = tot // 2
+                # contribution at coarse I:
+                #   rw(2I+t) * A[off](2I+t) * pw(2I+t+off)
+                c1 = _sample(rw * ac, d, t, (0, 0, 0), shape, n_c)
+                if pw is None:
+                    c2 = 1.0
+                else:
+                    shift_vec = tuple(off[e] if e != d else 0
+                                      for e in range(3))
+                    c2 = _sample(pw, d, t + o_d, shift_vec, shape, n_c)
+                term = c1 * c2
+                oc = tuple(O_d if e == d else off[e] for e in range(3))
+                if oc in out:
+                    out[oc] += term
+                else:
+                    out[oc] = term
+    out = {o: c for o, c in out.items() if np.any(c)}
+    return out, cshape
+
+
+def _stencil_to_dense(Ad, shape, real):
+    n = int(np.prod(shape))
+    dense = np.zeros((n, n), dtype=real)
+    idx = np.arange(n).reshape(shape)
+    for off, c in Ad.items():
+        dz, dy, dx = off
+        zs = slice(max(0, -dz), shape[0] - max(0, dz))
+        ys = slice(max(0, -dy), shape[1] - max(0, dy))
+        xs = slice(max(0, -dx), shape[2] - max(0, dx))
+        src = idx[zs, ys, xs].ravel()
+        tgt = idx[slice(max(0, dz), shape[0] + min(0, dz)),
+                  slice(max(0, dy), shape[1] + min(0, dy)),
+                  slice(max(0, dx), shape[2] + min(0, dx))].ravel()
+        dense[src, tgt] += c[zs, ys, xs].ravel()
+    return dense
+
+
+# ---------------------------------------------------------------------------
+# solve-phase kernels
+# ---------------------------------------------------------------------------
+
+def _pfmg_relax(lvl: PfmgLevel, relax_type, weight, b, u, sweeps):
+    for _ in range(sweeps):
+        if relax_type in (0, 1):
+            w = 1.0 if relax_type == 0 else weight
+            if u is None:
+                u = w * lvl.dinv * b
+            else:
+                u = u + w * lvl.dinv * (b - struct_matvec(lvl.A, u))
+        else:  # red-black Gauss-Seidel (ref: red_black_gs.c)
+            if u is None:
+                u = jnp.zeros_like(b)
+            for color in (True, False):
+                mask = lvl.rb_mask == color
+                upd = u + lvl.dinv * (b - struct_matvec(lvl.A, u))
+                u = jnp.where(mask, upd, u)
+    return u
+
+
+def _interp_apply(lvl: PfmgLevel, uc):
+    """u_f = P u_c for semicoarsening along lvl.cdir."""
+    d = lvl.cdir
+    n_f = lvl.fine_shape[d]
+    uf = jnp.zeros(lvl.fine_shape, dtype=uc.dtype)
+    # even planes: injection
+    ev = [slice(None)] * 3
+    ev[d] = slice(0, n_f, 2)
+    uf = uf.at[tuple(ev)].set(uc)
+    # odd planes f = 2I+1: wm*u_c[I] + wp*u_c[I+1]
+    n_odd = n_f // 2
+    od = [slice(None)] * 3
+    od[d] = slice(1, n_f, 2)
+    lo = [slice(None)] * 3
+    lo[d] = slice(0, n_odd)
+    hi = [slice(None)] * 3
+    hi[d] = slice(1, n_odd + 1)
+    uc_hi = jnp.pad(uc, [(0, 1) if e == d else (0, 0)
+                         for e in range(3)])[tuple(hi)]
+    wm_o = lvl.wm[tuple(od)]
+    wp_o = lvl.wp[tuple(od)]
+    uf = uf.at[tuple(od)].set(wm_o * uc[tuple(lo)] + wp_o * uc_hi)
+    return uf
+
+
+def _restrict_apply(lvl: PfmgLevel, rf):
+    """r_c = P^T r_f."""
+    d = lvl.cdir
+    n_f = lvl.fine_shape[d]
+    n_c = lvl.coarse_shape[d]
+    ev = [slice(None)] * 3
+    ev[d] = slice(0, n_f, 2)
+    rc = rf[tuple(ev)]
+    od = [slice(None)] * 3
+    od[d] = slice(1, n_f, 2)
+    r_odd = rf[tuple(od)]
+    n_odd = r_odd.shape[d]
+    # wm(2J+1)*r(2J+1) adds to coarse J
+    take = min(n_odd, n_c)
+    sl = [slice(None)] * 3
+    sl[d] = slice(0, take)
+    contrib = (lvl.wm[tuple(od)] * r_odd)[tuple(sl)]
+    pad_lo = [(0, n_c - take) if e == d else (0, 0) for e in range(3)]
+    rc = rc + jnp.pad(contrib, pad_lo)
+    # wp(2J+1)*r(2J+1) adds to coarse J+1
+    take2 = min(n_odd, n_c - 1)
+    sl2 = [slice(None)] * 3
+    sl2[d] = slice(0, take2)
+    contrib2 = (lvl.wp[tuple(od)] * r_odd)[tuple(sl2)]
+    pad_hi = [(1, n_c - 1 - take2) if e == d else (0, 0) for e in range(3)]
+    rc = rc + jnp.pad(contrib2, pad_hi)
+    return rc
+
+
+def pfmg_cycle(h: PfmgHierarchy, b):
+    """One V-cycle, zero initial guess."""
+    levels = h.levels
+    nl = len(levels)
+    us, bs = [], [b]
+    for l in range(nl - 1):
+        lvl = levels[l]
+        u = _pfmg_relax(lvl, h.relax_type, h.weight, bs[l], None, h.n_pre)
+        r = bs[l] - struct_matvec(lvl.A, u)
+        bs.append(_restrict_apply(lvl, r))
+        us.append(u)
+
+    lvl = levels[-1]
+    bc = bs[-1].reshape(-1)
+    uc = (h.c_dense_inv @ bc).reshape(lvl.fine_shape)
+
+    for l in range(nl - 2, -1, -1):
+        lvl = levels[l]
+        u = us[l] + _interp_apply(lvl, uc)
+        u = _pfmg_relax(lvl, h.relax_type, h.weight, bs[l], u, h.n_post)
+        uc = u
+    return uc
+
+
+@partial(jax.jit, static_argnames=("tol", "max_iter"))
+def _pfmg_solve_jit(h: PfmgHierarchy, b, x, tol, max_iter):
+    A0 = h.levels[0].A
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def cond(st):
+        x, it, rnorm = st
+        return (it < max_iter) & (rnorm / safe_b > tol)
+
+    def body(st):
+        x, it, _ = st
+        r = b - struct_matvec(A0, x)
+        x = x + pfmg_cycle(h, r)
+        r2 = b - struct_matvec(A0, x)
+        return x, it + 1, jnp.sqrt(jnp.vdot(r2, r2))
+
+    r0 = b - struct_matvec(A0, x)
+    st = (x, jnp.int32(0), jnp.sqrt(jnp.vdot(r0, r0)))
+    x, it, rnorm = jax.lax.while_loop(cond, body, st)
+    return x, it, rnorm / safe_b

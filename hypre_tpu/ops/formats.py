@@ -250,6 +250,12 @@ def sparse_op_from_scipy(A, real_dtype=None, prefer_dia: bool = True,
     when preferred, jnp ELL otherwise."""
     if max(A.shape) <= 2048 and min(A.shape) > 0:
         return dense_from_scipy(A, real_dtype)
+    if prefer_dia:
+        # exact-stencil matrices: DIA has zero padding and trivial
+        # (fast) setup; only worth it when the diagonals are dense
+        D = dia_from_scipy(A, real_dtype, max_diags=32)
+        if D is not None and A.nnz >= 0.5 * len(D.offsets) * A.shape[0]:
+            return D
     if prefer_gstell:
         from hypre_tpu.ops.gstell import gstell_from_scipy
 

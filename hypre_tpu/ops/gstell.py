@@ -119,7 +119,9 @@ def gstell_from_scipy(A, real_dtype=None):
 
     # per-cluster max rank -> octet groups
     m_j = np.zeros(n_clusters, dtype=np.int64)
-    np.maximum.at(m_j, ecl, rank + 1)
+    ecl_order = np.argsort(ecl, kind="stable")
+    uecl, estarts = np.unique(ecl[ecl_order], return_index=True)
+    m_j[uecl] = np.maximum.reduceat((rank + 1)[ecl_order], estarts)
     octs = -(-m_j // 8)
     G = int(octs.sum())
     if G == 0 or G > MAX_G:
@@ -137,13 +139,16 @@ def gstell_from_scipy(A, real_dtype=None):
 
     # --- per (chunk, group) window base -----------------------------
     cg = chunk * G + group
-    base = np.zeros(n_chunks_pad * G, dtype=np.int64)
+    # per-(chunk,group) min/max column via sort + reduceat
+    # (np.minimum.at is a scalar loop — minutes at 10^8 entries)
+    cg_order = np.argsort(cg, kind="stable")
+    cg_s = cg[cg_order]
+    col_s = col[cg_order]
+    uniq_cg, starts = np.unique(cg_s, return_index=True)
+    cmin = np.zeros(n_chunks_pad * G, dtype=np.int64)
     cmax = np.zeros(n_chunks_pad * G, dtype=np.int64)
-    cmin = np.full(n_chunks_pad * G, np.iinfo(np.int64).max)
-    np.minimum.at(cmin, cg, col)
-    np.maximum.at(cmax, cg, col)
-    used = cmin != np.iinfo(np.int64).max
-    cmin[~used] = 0
+    cmin[uniq_cg] = np.minimum.reduceat(col_s, starts)
+    cmax[uniq_cg] = np.maximum.reduceat(col_s, starts)
     base = cmin // 128
     spread = cmax - base * 128
     c = int(np.ceil((spread.max(initial=0) + 1) / 128.0))

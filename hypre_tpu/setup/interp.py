@@ -111,8 +111,9 @@ def truncate_interp(P: sp.csr_matrix, trunc_factor: float,
     keep = np.ones(len(P.data), dtype=bool)
 
     if trunc_factor > 0.0:
-        row_nrm = np.zeros(n)
-        np.maximum.at(row_nrm, rows, absdata)
+        from hypre_tpu.setup.utils import row_reduce
+
+        row_nrm = row_reduce(absdata, P.indptr, "max", 0.0)
         keep &= absdata >= trunc_factor * row_nrm[rows]
 
     if max_elmts > 0:

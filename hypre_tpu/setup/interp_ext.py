@@ -87,7 +87,7 @@ def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     # --- weak part: everything not pattern, not strong-F, not SF ----
     weak_sel = (offd & f_row_entry & ~direct_sel & ~strong_f_entry
                 & (cf[A.indices] != SF_PT))
-    np.add.at(d, a_rows[weak_sel], A.data[weak_sel])
+    d += np.bincount(a_rows[weak_sel], A.data[weak_sel], minlength=n)
 
     # --- distribution over strong F neighbors -----------------------
     # edges e: (i, k) k strong-F neighbor of i (use A entries to get a_ik)
@@ -119,7 +119,7 @@ def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
             dist = np.where(has_den, e_aik / np.where(has_den, denom, 1.0),
                             0.0)
         # s == 0: a_ik goes to the diagonal
-        np.add.at(d, e_i[~has_den], e_aik[~has_den])
+        d += np.bincount(e_i[~has_den], e_aik[~has_den], minlength=n)
 
         contrib_sel = in_den & memb & has_den[tri_e]
         p_i.append(t_i[contrib_sel])
@@ -127,7 +127,7 @@ def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
         p_v.append(dist[tri_e[contrib_sel]] * t_a[contrib_sel])
 
         self_sel = in_den & is_self & has_den[tri_e]
-        np.add.at(d, t_i[self_sel], dist[tri_e[self_sel]] * t_a[self_sel])
+        d += np.bincount(t_i[self_sel], dist[tri_e[self_sel]] * t_a[self_sel], minlength=n)
 
     # --- assemble P -------------------------------------------------
     p_i = np.concatenate(p_i)

@@ -3,3 +3,5 @@ from hypre_tpu.solvers.krylov import pcg, PcgResult  # noqa: F401
 from hypre_tpu.solvers.krylov_more import (  # noqa: F401
     gmres, bicgstab, cgnr, KrylovResult,
 )
+from hypre_tpu.solvers.lobpcg import lobpcg, LobpcgResult  # noqa: F401
+from hypre_tpu.solvers.fsai import FSAI, FsaiConfig  # noqa: F401

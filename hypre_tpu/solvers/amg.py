@@ -46,7 +46,8 @@ class AmgConfig:
     relax_type: int = 18              # l1-Jacobi (GPU-friendly default here)
     relax_weight: float = 1.0
     num_sweeps: int = 1
-    cycle_type: str = "V"
+    relax_order: int = 0              # 1 = C-points first (par_amg.c:269)
+    cycle_type: str = "V"             # V, W, or F
     seed: int = 2747
     # Chebyshev smoothing (relax_type 16; ref: par_cheby.c:65-170)
     cheby_order: int = 2
@@ -57,7 +58,8 @@ class AmgConfig:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds"],
+         data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
+                      "L", "U", "c_mask"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
@@ -67,12 +69,15 @@ class AmgLevel:
     dinv: Optional[jax.Array]  # 1 / smoother-diagonal (l1 norms)
     cheby_ds: Optional[jax.Array] = None       # 1/sqrt(diag)
     cheby_bounds: Optional[jax.Array] = None   # [lmax, lmin] of scaled op
+    L: Optional[SparseOp] = None   # strict lower part (two-stage GS)
+    U: Optional[SparseOp] = None   # strict upper part (backward sweep)
+    c_mask: Optional[jax.Array] = None  # 1.0 at C points (CF relax order)
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "c_lu", "c_piv"],
          meta_fields=["relax_weight", "num_sweeps", "relax_type",
-                      "cheby_order"])
+                      "cheby_order", "cycle_type", "relax_order"])
 @dataclasses.dataclass(frozen=True)
 class AmgHierarchy:
     levels: tuple            # tuple[AmgLevel]
@@ -82,6 +87,8 @@ class AmgHierarchy:
     num_sweeps: int
     relax_type: int = 18
     cheby_order: int = 2
+    cycle_type: str = "V"
+    relax_order: int = 0
 
 
 def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
@@ -115,7 +122,7 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
         R = P.T.tocsr()
         Ac = (R @ Al @ P).tocsr()
         Ac.sort_indices()
-        levels_host.append((Al, P, R))
+        levels_host.append((Al, P, R, cf))
         Al = Ac
     return levels_host, Al
 
@@ -151,20 +158,29 @@ class BoomerAMG:
         # convert to device pytree
         real = get_config().np_real
         dev_levels = []
-        for Ah, Ph, Rh in levels_host:
+        for Ah, Ph, Rh, cfm in levels_host:
             dinv = 1.0 / l1_norms(Ah, self._l1_option())
-            ds = bounds = None
+            ds = bounds = Lop = cmask = None
             if cfg.relax_type == 16:
                 ds_np, b_np = chebyshev_setup(Ah, cfg.cheby_fraction,
                                               cfg.cheby_eig_iters)
                 ds = jnp.asarray(ds_np.astype(real))
                 bounds = jnp.asarray(b_np.astype(real))
+            Uop = None
+            if cfg.relax_type in (11, 12, 13, 14, 8):
+                Lh = sp.tril(Ah, k=-1).tocsr()
+                Uh = sp.triu(Ah, k=1).tocsr()
+                Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
+                Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
+            if cfg.relax_order:
+                cmask = jnp.asarray((cfm == C_PT).astype(real))
             dev_levels.append(AmgLevel(
                 A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
                 P=sparse_op_from_scipy(Ph, prefer_dia=False),
                 R=sparse_op_from_scipy(Rh, prefer_dia=False),
                 dinv=jnp.asarray(dinv.astype(real)),
-                cheby_ds=ds, cheby_bounds=bounds,
+                cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
+                c_mask=cmask,
             ))
         # coarsest level
         dev_levels.append(AmgLevel(
@@ -176,7 +192,8 @@ class BoomerAMG:
         self.hierarchy = AmgHierarchy(
             levels=tuple(dev_levels), c_lu=c_lu, c_piv=c_piv,
             relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps,
-            relax_type=cfg.relax_type, cheby_order=cfg.cheby_order)
+            relax_type=cfg.relax_type, cheby_order=cfg.cheby_order,
+            cycle_type=cfg.cycle_type, relax_order=cfg.relax_order)
 
         self.level_sizes = [l[0].shape[0] for l in levels_host] + [Al.shape[0]]
         self.level_nnz = [l[0].nnz for l in levels_host] + [Al.nnz]
@@ -223,20 +240,51 @@ def chebyshev_setup(A_scipy, fraction: float, eig_iters: int):
 
 
 def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
-           cheby_order: int = 2):
+           cheby_order: int = 2, relax_order: int = 0, up: bool = False):
     """Smoother dispatch (ref: par_relax.c:24 hypre_BoomerAMGRelax).
 
     18 / 7 / 0: (l1-)Jacobi sweeps u += w * dinv * (f - A u); first
     sweep with u = 0 folds to u = w * dinv * f.
-    16: Chebyshev polynomial on the scaled operator."""
+    16: Chebyshev polynomial on the scaled operator.
+    11 / 12 / 13 / 8: two-stage Gauss-Seidel — the GPU-friendly
+    approximation (D+L)^-1 ≈ D^-1 - D^-1 L D^-1 (ref: par_relax.c
+    Relax11TwoStageGaussSeidel; 13/8 here use the l1 diagonal, the
+    documented TPU stand-in for sequential hybrid l1-GS).
+    14: backward variant with the strict upper part.
+    relax_order=1 applies CF ordering: C points first on the down
+    sweep, F points first on the up sweep (ref: par_relax.c
+    relax_points)."""
     if relax_type == 16:
         return _cheby_relax(lvl, f, u, cheby_order, num_sweeps)
+
     A, dinv = lvl.A, lvl.dinv
+    two_stage = relax_type in (11, 12, 13, 14, 8) and lvl.L is not None
+    # forward sweep going down, backward going up keeps the cycle a
+    # symmetric preconditioner (the hypre 13-down / 14-up pairing)
+    tri = None
+    if two_stage:
+        back = up if relax_type != 14 else not up
+        tri = lvl.U if back else lvl.L
+
+    def jac_update(u):
+        r = f if u is None else f - matvec(A, u)
+        z = w * dinv * r
+        if two_stage:
+            z = z - dinv * matvec(tri, z)
+        return z if u is None else u + z
+
+    if relax_order and lvl.c_mask is not None:
+        cm = lvl.c_mask
+        first = cm if not up else (1.0 - cm)
+        for _ in range(num_sweeps):
+            z = jac_update(u)
+            u = first * z if u is None else jnp.where(first > 0, z, u)
+            z = jac_update(u)
+            u = jnp.where(first > 0, u, z)
+        return u
+
     for _ in range(num_sweeps):
-        if u is None:
-            u = w * dinv * f
-        else:
-            u = u + w * dinv * (f - matvec(A, u))
+        u = jac_update(u)
     return u
 
 
@@ -271,35 +319,42 @@ def _cheby_relax(lvl: AmgLevel, f, u, order: int, num_sweeps: int):
 
 
 def amg_cycle(h: AmgHierarchy, f: jax.Array) -> jax.Array:
-    """One V-cycle with zero initial guess, fully traced/unrolled over
+    """One multigrid cycle with zero initial guess, fully traced over
     the (static) level list — the XLA equivalent of the nonrecursive
-    cycle driver (ref: par_cycle.c:23,194-226)."""
-    cfgw = h.relax_weight
-    ns = h.num_sweeps
+    lev_counter cycle driver (ref: par_cycle.c:23,194-226).  V by
+    default; W (mu=2) and F cycles unroll recursively."""
+    return _cycle_at(h, 0, f, h.cycle_type)
+
+
+def _cycle_at(h: AmgHierarchy, l: int, f, ctype: str):
     levels = h.levels
     nl = len(levels)
+    if l == nl - 1:
+        # coarsest: dense LU solve (GE, ref: par_gauss_elim.c:457)
+        return jax.scipy.linalg.lu_solve((h.c_lu, h.c_piv), f)
 
-    us = []
-    fs = [f]
-    # down sweep
-    for l in range(nl - 1):
-        lvl = levels[l]
-        u = _relax(lvl, h.relax_type, cfgw, fs[l], None, ns, h.cheby_order)
-        r = fs[l] - matvec(lvl.A, u)
-        fc = matvec(lvl.R, r)
-        us.append(u)
-        fs.append(fc)
+    lvl = levels[l]
+    w, ns = h.relax_weight, h.num_sweeps
+    u = _relax(lvl, h.relax_type, w, f, None, ns, h.cheby_order,
+               h.relax_order, up=False)
+    r = f - matvec(lvl.A, u)
+    fc = matvec(lvl.R, r)
 
-    # coarsest: dense LU solve (GE, ref: par_gauss_elim.c:457)
-    uc = jax.scipy.linalg.lu_solve((h.c_lu, h.c_piv), fs[-1])
+    if ctype == "W" and l < nl - 2:
+        uc = _cycle_at(h, l + 1, fc, "W")
+        rc = fc - matvec(levels[l + 1].A, uc)
+        uc = uc + _cycle_at(h, l + 1, rc, "W")
+    elif ctype == "F" and l < nl - 2:
+        uc = _cycle_at(h, l + 1, fc, "F")
+        rc = fc - matvec(levels[l + 1].A, uc)
+        uc = uc + _cycle_at(h, l + 1, rc, "V")
+    else:
+        uc = _cycle_at(h, l + 1, fc, "V" if ctype != "W" else ctype)
 
-    # up sweep
-    for l in range(nl - 2, -1, -1):
-        lvl = levels[l]
-        u = us[l] + matvec(lvl.P, uc)
-        u = _relax(lvl, h.relax_type, cfgw, fs[l], u, ns, h.cheby_order)
-        uc = u
-    return uc
+    u = u + matvec(lvl.P, uc)
+    u = _relax(lvl, h.relax_type, w, f, u, ns, h.cheby_order,
+               h.relax_order, up=True)
+    return u
 
 
 @partial(jax.jit, static_argnames=("tol", "max_iter"))

@@ -90,7 +90,7 @@ class ParBoomerAMG:
         parts.append(RowPartition.create(Ac.shape[0], ns))
 
         par_levels = []
-        for i, (Al, Pl, Rl) in enumerate(levels_host):
+        for i, (Al, Pl, Rl, _cf) in enumerate(levels_host):
             rp, cp = parts[i], parts[i + 1]
             dinv = 1.0 / l1_norms(Al, opt)
             dinv_sh = jnp.asarray(

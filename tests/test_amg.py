@@ -76,3 +76,37 @@ def test_amg_pcg_chebyshev():
     res = pcg(A=_op(A), b=b, M=amg, tol=1e-8, max_iter=100)
     assert float(res.relres) <= 1e-8
     assert int(res.iters) <= 15, f"cheby AMG-PCG took {int(res.iters)}"
+
+
+def test_amg_w_and_f_cycles():
+    A = laplacian(24, 24)
+    b = np.ones(A.shape[0])
+    iters = {}
+    for ct in ("V", "W", "F"):
+        amg = BoomerAMG(AmgConfig(cycle_type=ct, max_levels=6)).setup(A)
+        x, it, relres = amg.solve(b, tol=1e-8, max_iter=100)
+        assert float(relres) < 1e-8
+        iters[ct] = int(it)
+    # W and F cycles must not be slower than V in iterations
+    assert iters["W"] <= iters["V"]
+    assert iters["F"] <= iters["V"]
+
+
+def test_amg_two_stage_gs():
+    A = laplacian(20, 20)
+    b = np.ones(A.shape[0])
+    amg = BoomerAMG(AmgConfig(relax_type=11)).setup(A)
+    res = pcg(A=_op(A), b=b, M=amg, tol=1e-8, max_iter=100)
+    assert float(res.relres) <= 1e-8
+    # two-stage GS should beat plain l1-Jacobi
+    amg_j = BoomerAMG(AmgConfig(relax_type=18)).setup(A)
+    res_j = pcg(A=_op(A), b=b, M=amg_j, tol=1e-8, max_iter=100)
+    assert int(res.iters) <= int(res_j.iters) + 1
+
+
+def test_amg_cf_relax_order():
+    A = laplacian(20, 20)
+    b = np.ones(A.shape[0])
+    amg = BoomerAMG(AmgConfig(relax_order=1)).setup(A)
+    res = pcg(A=_op(A), b=b, M=amg, tol=1e-8, max_iter=100)
+    assert float(res.relres) <= 1e-8

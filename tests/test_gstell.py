@@ -45,7 +45,7 @@ def test_amg_level_matrices():
 
     A = laplacian(24, 24, 24)
     levels, Ac = build_host_hierarchy(A, AmgConfig())
-    for Al, Pl, Rl in levels:
+    for Al, Pl, Rl, _cf in levels:
         check(Al)
 
 

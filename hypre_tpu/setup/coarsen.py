@@ -91,3 +91,16 @@ def pmis(S: sp.csr_matrix, seed: int = 2747,
         unassigned = cf == 0
 
     return cf.astype(np.int32)
+
+
+def hmis(S: sp.csr_matrix, seed: int = 2747,
+         global_ids: np.ndarray | None = None) -> np.ndarray:
+    """HMIS coarsening (ref: par_coarsen.c:2849 — one-pass Ruge-Stüben
+    on processor interiors, PMIS on the boundaries).  With the global
+    setup view the boundary set is empty, so HMIS reduces to the native
+    greedy RS first pass (exactly hypre's single-rank behavior)."""
+    from hypre_tpu.csrc.build import rs_first_pass
+
+    S = S.tocsr()
+    ST = S.T.tocsr()
+    return rs_first_pass(S, ST)

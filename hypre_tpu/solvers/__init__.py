@@ -1,7 +1,10 @@
 from hypre_tpu.solvers.amg import BoomerAMG, AmgConfig  # noqa: F401
 from hypre_tpu.solvers.krylov import pcg, PcgResult  # noqa: F401
 from hypre_tpu.solvers.krylov_more import (  # noqa: F401
-    gmres, bicgstab, cgnr, KrylovResult,
+    gmres, flexgmres, lgmres, cogmres, bicgstab, cgnr, KrylovResult,
+)
+from hypre_tpu.solvers.hybrid import (  # noqa: F401
+    hybrid_solve, HybridConfig, HybridResult,
 )
 from hypre_tpu.solvers.lobpcg import lobpcg, LobpcgResult  # noqa: F401
 from hypre_tpu.solvers.fsai import FSAI, FsaiConfig  # noqa: F401

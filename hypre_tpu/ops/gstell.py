@@ -263,7 +263,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 
         def kernel_w(base_ref, w0_ref, locs_ref, vals_ref, x_hbm, y_ref,
                      win, sem):
-            w0 = w0_ref[0]
+            w0 = w0_ref[0, 0, 0]
             cp = pltpu.make_async_copy(x_hbm.at[pl.ds(w0, ext), :], win, sem)
             cp.start()
             cp.wait()
@@ -280,7 +280,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
             in_specs=[
                 pl.BlockSpec((1, CH_STEP, G), lambda t: (t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda t: (t,),
+                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
@@ -297,7 +297,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                 pltpu.VMEM((ext, 128), dtype),
                 pltpu.SemaphoreType.DMA,
             ],
-        )(A.base, A.w0, A.locs, A.vals, x2d)
+        )(A.base, A.w0.reshape(-1, 1, 1), A.locs, A.vals, x2d)
 
     return y.reshape(-1)[:A.n_rows]
 

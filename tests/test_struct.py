@@ -78,3 +78,57 @@ def test_pfmg_pcg():
     r = b - np.asarray(struct_matvec(A, res.x))
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
     assert int(res.iters) <= 13, f"CG+PFMG took {int(res.iters)}"  # ref: 10 at 256^3
+
+
+def test_tridiag_cyclic_reduction():
+    import scipy.sparse as sp
+
+    from hypre_tpu.ops.tridiag import tridiag_solve
+
+    rng = np.random.RandomState(0)
+    n = 37
+    a, c = rng.randn(4, n), rng.randn(4, n)
+    bb = rng.randn(4, n) + 6.0
+    d = rng.randn(4, n)
+    x = np.asarray(tridiag_solve(a, bb, c, d))
+    for k in range(4):
+        T = sp.diags([a[k, 1:], bb[k], c[k, :-1]], [-1, 0, 1]).tocsc()
+        np.testing.assert_allclose(x[k], sp.linalg.spsolve(T, d[k]),
+                                   rtol=1e-10)
+
+
+def test_smg_2d():
+    from hypre_tpu.struct.smg import SMG, SmgConfig
+
+    A = struct_laplacian(1, 32, 32)
+    smg = SMG(SmgConfig()).setup(A)
+    b = np.ones((1, 32, 32))
+    x, it, rel = smg.solve(b, tol=1e-8, max_iter=50)
+    r = b - np.asarray(struct_matvec(A, x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+    assert int(it) <= 12
+
+
+def test_smg_anisotropic_lines():
+    # strong x-coupling: line solves in x make SMG immune
+    from hypre_tpu.struct.smg import SMG, SmgConfig
+
+    A = struct_laplacian(1, 32, 32, cx=1000.0, cy=1.0)
+    smg = SMG(SmgConfig()).setup(A)
+    b = np.ones((1, 32, 32))
+    x, it, rel = smg.solve(b, tol=1e-8, max_iter=50)
+    assert int(it) <= 8
+
+
+def test_smg_3d_plane_smoothing():
+    from hypre_tpu.struct.smg import SMG, SmgConfig
+
+    A = struct_laplacian(16, 16, 16)
+    smg = SMG(SmgConfig()).setup(A)
+    b = np.ones((16, 16, 16))
+    x, it, rel = smg.solve(b, tol=1e-7, max_iter=50)
+    r = b - np.asarray(struct_matvec(A, x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+    # reference: CG+SMG at 128^3 takes 5 iters (BASELINE struct out.3);
+    # standalone cycles are a bit more
+    assert int(it) <= 10

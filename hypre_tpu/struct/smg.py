@@ -172,13 +172,17 @@ def _line_matvec(lvl: SmgLevel, u):
     return a * left + b * u + c * right
 
 
-def _zebra_line_relax(lvl: SmgLevel, f, u, sweeps):
+def _zebra_line_relax(lvl: SmgLevel, f, u, sweeps, up=False):
     """Zebra (red-black line) smoothing along y: solve all even-y
-    x-lines as batched tridiagonal systems, then all odd-y lines."""
+    x-lines as batched tridiagonal systems, then all odd-y lines.
+    The up-sweep reverses the color order so pre+post relaxation is a
+    symmetric operation (keeps CG happy, as the reference's symmetric
+    SMG cycle does)."""
     if u is None:
         u = jnp.zeros_like(f)
+    colors = (1, 0) if up else (0, 1)
     for _ in range(sweeps):
-        for parity in (0, 1):
+        for parity in colors:
             r = f - struct_matvec(lvl.A, u) + _line_matvec(lvl, u)
             sol = tridiag_solve(lvl.line_a, lvl.line_b, lvl.line_c, r)
             mask = (jnp.arange(f.shape[1]) % 2 == parity)[None, :, None]
@@ -186,13 +190,14 @@ def _zebra_line_relax(lvl: SmgLevel, f, u, sweeps):
     return u
 
 
-def _plane_relax(lvl: SmgLevel, f, u, sweeps):
+def _plane_relax(lvl: SmgLevel, f, u, sweeps, up=False):
     """3D plane smoothing: one batched-2D SMG V-cycle per zebra color
-    of z-planes."""
+    of z-planes (color order reversed on the up sweep)."""
     if u is None:
         u = jnp.zeros_like(f)
+    colors = (1, 0) if up else (0, 1)
     for _ in range(sweeps):
-        for parity in (0, 1):
+        for parity in colors:
             r = f - struct_matvec(lvl.A, u)
             e = smg_cycle(lvl.plane2d, r)
             mask = (jnp.arange(f.shape[0]) % 2 == parity)[:, None, None]
@@ -200,10 +205,10 @@ def _plane_relax(lvl: SmgLevel, f, u, sweeps):
     return u
 
 
-def _smg_relax(h: SmgHierarchy, lvl: SmgLevel, f, u, sweeps):
+def _smg_relax(h: SmgHierarchy, lvl: SmgLevel, f, u, sweeps, up=False):
     if h.dim == 3 and lvl.plane2d is not None:
-        return _plane_relax(lvl, f, u, sweeps)
-    return _zebra_line_relax(lvl, f, u, sweeps)
+        return _plane_relax(lvl, f, u, sweeps, up)
+    return _zebra_line_relax(lvl, f, u, sweeps, up)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +221,7 @@ def smg_cycle(h: SmgHierarchy, b):
     us, bs = [], [b]
     for l in range(nl - 1):
         lvl = levels[l]
-        u = _smg_relax(h, lvl, bs[l], None, h.n_pre)
+        u = _smg_relax(h, lvl, bs[l], None, h.n_pre, up=False)
         r = bs[l] - struct_matvec(lvl.A, u)
         bs.append(_restrict_apply(_as_pfmg(lvl), r))
         us.append(u)
@@ -227,7 +232,7 @@ def smg_cycle(h: SmgHierarchy, b):
     for l in range(nl - 2, -1, -1):
         lvl = levels[l]
         u = us[l] + _interp_apply(_as_pfmg(lvl), uc)
-        u = _smg_relax(h, lvl, bs[l], u, h.n_post)
+        u = _smg_relax(h, lvl, bs[l], u, h.n_post, up=True)
         uc = u
     return uc
 

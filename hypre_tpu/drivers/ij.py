@@ -55,6 +55,11 @@ def build_parser():
     p.add_argument("-max_iter", type=int, default=1000)
     p.add_argument("-mg_max_iter", type=int, default=100)
     p.add_argument("-k", type=int, default=5, dest="k_dim")
+    p.add_argument("-agg_nl", type=int, default=0, dest="agg_num_levels")
+    p.add_argument("-agg_interp", type=int, default=4,
+                   dest="agg_interp_type")
+    p.add_argument("-np2", "-num_paths", type=int, default=1,
+                   dest="num_paths")
     p.add_argument("-seed", type=int, default=2747)
     p.add_argument("-rhsone", action="store_true", default=True)
     p.add_argument("-rhsrand", action="store_true")
@@ -118,6 +123,8 @@ def main(argv=None):
         interp_type=args.interptype, trunc_factor=args.trunc_factor,
         p_max_elmts=args.p_max_elmts, relax_type=args.rlx,
         relax_weight=args.relax_weight, num_sweeps=args.num_sweeps,
+        agg_num_levels=args.agg_num_levels,
+        agg_interp_type=args.agg_interp_type, num_paths=args.num_paths,
         seed=args.seed,
     )
 

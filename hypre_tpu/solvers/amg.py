@@ -48,6 +48,9 @@ class AmgConfig:
     num_sweeps: int = 1
     relax_order: int = 0              # 1 = C-points first (par_amg.c:269)
     cycle_type: str = "V"             # V, W, or F
+    agg_num_levels: int = 0           # aggressive coarsening levels
+    agg_interp_type: int = 4          # multipass (par_amg.c:194)
+    num_paths: int = 1
     seed: int = 2747
     # Chebyshev smoothing (relax_type 16; ref: par_cheby.c:65-170)
     cheby_order: int = 2
@@ -113,7 +116,18 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
         n_coarse = int((cf == C_PT).sum())
         if n_coarse == 0 or n_coarse == n:
             break
-        if cfg.interp_type == 3:
+        if _level < cfg.agg_num_levels:
+            from hypre_tpu.setup.aggressive import (
+                aggressive_coarsen, multipass_interp,
+            )
+            cf = aggressive_coarsen(S, cf, cfg.num_paths, cfg.seed)
+            n_coarse = int((cf == C_PT).sum())
+            if n_coarse == 0 or n_coarse == n:
+                break
+            P = multipass_interp(Al, S, cf, strong_mask=strong_mask,
+                                 trunc_factor=cfg.trunc_factor,
+                                 max_elmts=cfg.p_max_elmts)
+        elif cfg.interp_type == 3:
             P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                               strong_mask=strong_mask)
         elif cfg.interp_type == 6:

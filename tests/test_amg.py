@@ -110,3 +110,14 @@ def test_amg_cf_relax_order():
     amg = BoomerAMG(AmgConfig(relax_order=1)).setup(A)
     res = pcg(A=_op(A), b=b, M=amg, tol=1e-8, max_iter=100)
     assert float(res.relres) <= 1e-8
+
+
+def test_aggressive_coarsening_cuts_complexity():
+    A = laplacian(20, 20, 20)
+    b = np.ones(A.shape[0])
+    base = BoomerAMG(AmgConfig(interp_type=6)).setup(A)
+    agg = BoomerAMG(AmgConfig(interp_type=6, agg_num_levels=1)).setup(A)
+    # aggressive coarsening trades complexity for iterations
+    assert agg.operator_complexity < base.operator_complexity * 0.7
+    res = pcg(A=_op(A), b=b, M=agg, tol=1e-8, max_iter=200)
+    assert float(res.relres) <= 1e-8

@@ -12,7 +12,7 @@ def test_chow_patel_matches_exact_ilu0_tridiag():
     # propagates one row per sweep, so n sweeps give the exact factors
     n = 12
     A = laplacian(n)
-    ilu = ILU(IluConfig(sweeps=n + 2)).setup(A)
+    ilu = ILU(IluConfig(sweeps=3 * n)).setup(A)
     Lm, Um = ilu._LU_scipy
     L = sp.identity(n) + sp.tril(Lm, -1)
     err = abs((L @ Um - A).toarray()).max()

@@ -156,6 +156,27 @@ def gstell_from_scipy(A, real_dtype=None):
     if c > MAX_C:
         return None
     base = np.minimum(base, max(x_rows - c, 0))
+    # unused (chunk, group) slots must not widen the per-step window:
+    # fill them with a used base from the same chunk (else the padded
+    # tail chunks would anchor windows at 0 while real rows sit at the
+    # top of x, making ext span the whole vector)
+    used2 = used.reshape(n_chunks_pad, G)
+    base2 = base.reshape(n_chunks_pad, G)
+    chunk_any = used2.any(axis=1)
+    chunk_min = np.where(
+        chunk_any,
+        np.where(used2, base2, np.iinfo(np.int64).max).min(axis=1), -1)
+    # forward/backward fill for fully-empty chunks
+    if chunk_any.any():
+        idx = np.where(chunk_any, np.arange(n_chunks_pad), -1)
+        np.maximum.accumulate(idx, out=idx)
+        first = np.flatnonzero(chunk_any)[0]
+        idx[idx < 0] = first
+        chunk_fill = chunk_min[idx]
+    else:
+        chunk_fill = np.zeros(n_chunks_pad, dtype=np.int64)
+    base2 = np.where(used2, base2, chunk_fill[:, None])
+    base = base2.reshape(-1)
     loc_all = col - base[cg] * 128
     if loc_all.max(initial=0) >= 128 * c:
         c = int(np.ceil((loc_all.max() + 1) / 128.0))
@@ -178,6 +199,8 @@ def gstell_from_scipy(A, real_dtype=None):
     w0 = np.minimum(w0, max(x_rows - ext, 0))
 
     resident = x_rows * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
+    if not resident and ext * 128 * real_dtype.itemsize > 8 * 1024 * 1024:
+        return None  # window would not fit VMEM; fall back
 
     return GstEllMatrix(
         base=jnp.asarray(base_steps.astype(np.int32)),

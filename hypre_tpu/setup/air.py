@@ -1,0 +1,137 @@
+"""AIR — approximate ideal restriction (for nonsymmetric problems).
+
+Analog of hypre's AIR (ref: src/parcsr_ls/par_lr_restr.c:42
+hypre_BoomerAMGBuildRestrDist2AIR / :2034 Neumann variant; enabled via
+restr_par, docs HYPRE_parcsr_ls.h:1265-1275).  The ideal restriction is
+R = [-A_cf A_ff^{-1}  I]; lAIR approximates A_ff^{-1} row-locally:
+
+For each C point i with F-neighborhood F_i (distance-1 strong F
+neighbors): solve the small transposed system
+    z^T A[F_i, F_i] = -A[i, F_i]
+and set R[i, F_i] = z, R[i, i] = 1.  All C rows are independent — ONE
+batched dense solve over (n_c, k, k), the same MXU-batched shape as
+FSAI.  Interpolation alongside AIR is one-point injection
+(P[i, c(i)] = 1 for the strongest C neighbor), and the coarse operator
+is the nonsymmetric triple product R A P.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from hypre_tpu.setup.coarsen import C_PT, F_PT
+from hypre_tpu.setup.utils import expand_rows
+
+
+def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
+                    strong_mask: np.ndarray | None = None,
+                    max_nbrs: int = 12) -> sp.csr_matrix:
+    """Build R (n_coarse x n_fine) by distance-1 lAIR."""
+    import jax.numpy as jnp
+
+    A = A.tocsr()
+    n = A.shape[0]
+    is_c = cf == C_PT
+    is_f = cf == F_PT
+    c_idx = np.flatnonzero(is_c)
+    n_c = len(c_idx)
+    cmap = np.cumsum(is_c) - 1
+
+    rows = expand_rows(A.indptr)
+    if strong_mask is None:
+        from hypre_tpu.setup.interp import _entries_in_pattern
+
+        strong_mask = _entries_in_pattern(A, S)
+
+    # F-neighborhood of each C row: strong F neighbors, capped
+    sel = strong_mask & is_c[rows] & is_f[A.indices]
+    e_rows = cmap[rows[sel]]          # coarse row id
+    e_cols = A.indices[sel]           # fine F column
+    mag = np.abs(A.data[sel])
+    order = np.lexsort((-mag, e_rows))
+    e_rows, e_cols = e_rows[order], e_cols[order]
+    rank = np.arange(len(e_rows)) - np.searchsorted(e_rows, e_rows)
+    keep = rank < max_nbrs
+    e_rows, e_cols, rank = e_rows[keep], e_cols[keep], rank[keep]
+
+    k = max_nbrs
+    pat = np.full((n_c, k), -1, dtype=np.int64)
+    pat[e_rows, rank] = e_cols
+    valid = pat >= 0
+
+    # hash lookup of A entries
+    a_keys = rows.astype(np.int64) * n + A.indices
+    ks = np.argsort(a_keys)
+    a_keys_s, a_vals_s = a_keys[ks], A.data[ks]
+
+    def lookup(i_arr, j_arr):
+        kk = i_arr.astype(np.int64) * n + j_arr
+        p = np.searchsorted(a_keys_s, kk)
+        p = np.minimum(p, len(a_keys_s) - 1)
+        hit = a_keys_s[p] == kk
+        return np.where(hit, a_vals_s[p], 0.0)
+
+    pat_safe = np.where(valid, pat, 0)
+    # A[F_i, F_i] blocks and A[i, F_i] rows
+    blk = lookup(pat_safe[:, :, None].repeat(k, 2).ravel(),
+                 pat_safe[:, None, :].repeat(k, 1).ravel()).reshape(
+                     n_c, k, k)
+    rhs = lookup(np.repeat(c_idx, k), pat_safe.ravel()).reshape(n_c, k)
+    vmask = valid[:, :, None] & valid[:, None, :]
+    blk = np.where(vmask, blk, 0.0)
+    blk = blk + np.where(
+        ~valid[:, :, None] & (np.arange(k)[None, :, None]
+                              == np.arange(k)[None, None, :]), 1.0, 0.0)
+    rhs = np.where(valid, rhs, 0.0)
+
+    # z^T A_ff = -a_cf  <=>  A_ff^T z = -a_cf^T : batched solve
+    z = np.asarray(jnp.linalg.solve(
+        jnp.asarray(np.swapaxes(blk, 1, 2)), jnp.asarray(-rhs[..., None])
+    ))[..., 0]
+    z = np.where(valid, z, 0.0)
+
+    r_rows = np.repeat(np.arange(n_c), k)[valid.ravel()]
+    r_cols = pat[valid]
+    r_vals = z[valid]
+    R = sp.coo_matrix(
+        (np.concatenate([r_vals, np.ones(n_c)]),
+         (np.concatenate([r_rows, np.arange(n_c)]),
+          np.concatenate([r_cols, c_idx]))),
+        shape=(n_c, n)).tocsr()
+    R.sort_indices()
+    return R
+
+
+def one_point_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
+                     strong_mask: np.ndarray | None = None
+                     ) -> sp.csr_matrix:
+    """One-point interpolation: every F point injects from its
+    strongest C neighbor (the standard AIR companion P)."""
+    A = A.tocsr()
+    n = A.shape[0]
+    is_c = cf == C_PT
+    cmap = np.cumsum(is_c) - 1
+    n_c = int(is_c.sum())
+    rows = expand_rows(A.indptr)
+    if strong_mask is None:
+        from hypre_tpu.setup.interp import _entries_in_pattern
+
+        strong_mask = _entries_in_pattern(A, S)
+
+    sel = strong_mask & ~is_c[rows] & is_c[A.indices] & (cf[rows] == F_PT)
+    mag = np.abs(A.data[sel])
+    r_s = rows[sel]
+    order = np.lexsort((-mag, r_s))
+    r_o = r_s[order]
+    first = np.concatenate([[True], r_o[1:] != r_o[:-1]])
+    p_rows = r_o[first]
+    p_cols = cmap[A.indices[sel][order][first]]
+
+    c_idx = np.flatnonzero(is_c)
+    P = sp.coo_matrix(
+        (np.ones(len(p_rows) + n_c),
+         (np.concatenate([p_rows, c_idx]),
+          np.concatenate([p_cols, cmap[c_idx]]))),
+        shape=(n, n_c)).tocsr()
+    P.sort_indices()
+    return P

@@ -51,6 +51,7 @@ class AmgConfig:
     agg_num_levels: int = 0           # aggressive coarsening levels
     agg_interp_type: int = 4          # multipass (par_amg.c:194)
     num_paths: int = 1
+    restr_type: int = 0               # 0: R=P^T; 1: distance-1 lAIR
     seed: int = 2747
     # Chebyshev smoothing (relax_type 16; ref: par_cheby.c:65-170)
     cheby_order: int = 2
@@ -136,7 +137,14 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                              strong_mask=strong_mask)
         else:
             raise ValueError(f"interp_type {cfg.interp_type} not built")
-        R = P.T.tocsr()
+        if cfg.restr_type == 1:
+            from hypre_tpu.setup.air import air_restriction, \
+                one_point_interp
+
+            P = one_point_interp(Al, S, cf, strong_mask=strong_mask)
+            R = air_restriction(Al, S, cf, strong_mask=strong_mask)
+        else:
+            R = P.T.tocsr()
         Ac = (R @ Al @ P).tocsr()
         Ac.sort_indices()
         levels_host.append((Al, P, R, cf))

@@ -149,6 +149,8 @@ def gstell_from_scipy(A, real_dtype=None):
     cmax = np.zeros(n_chunks_pad * G, dtype=np.int64)
     cmin[uniq_cg] = np.minimum.reduceat(col_s, starts)
     cmax[uniq_cg] = np.maximum.reduceat(col_s, starts)
+    used = np.zeros(n_chunks_pad * G, dtype=bool)
+    used[uniq_cg] = True
     base = cmin // 128
     spread = cmax - base * 128
     c = int(np.ceil((spread.max(initial=0) + 1) / 128.0))

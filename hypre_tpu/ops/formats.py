@@ -168,6 +168,13 @@ def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
     if isinstance(A, DenseMatrix):
         return dense_matvec(A, x)
     if isinstance(A, DiaMatrix):
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            from hypre_tpu.ops.dia_pallas import dia_matvec_pallas
+
+            return dia_matvec_pallas(A.offsets, A.vals, x, A.n_rows,
+                                     A.n_cols)
         return dia_matvec(A, x)
     if isinstance(A, GstEllMatrix):
         import jax as _jax

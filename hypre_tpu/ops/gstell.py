@@ -12,23 +12,30 @@ PMIS coarsening and the Galerkin product):
 
 * Entries are CLUSTERED by column offset (col - row, scaled for
   rectangular operators).  A 3D coarse operator has a handful of
-  offset clusters — the macro-stencil (e.g. 7 clusters on the first
-  coarse level of a 7-pt problem).  Within one cluster and one chunk
-  of 128 consecutive rows, columns span only a few hundred indices.
-* Layout is TRANSPOSED: lanes = 128 rows of a chunk, sublanes = up to
-  8 slot ranks of a cluster ("octet").  Each (chunk, octet group) gets
-  one 128-aligned window base (prefetched to SMEM).
-* The kernel slices the x-window (c x 128 values, c static and small),
-  then gathers 1024 operands per lane-shuffle:
-      for w < c: g = dynamic_gather(bcast(win[w]), loc & 127)
-                 acc = where(loc >> 7 == w, g, acc)
-  followed by an FMA and a cross-sublane reduction into the 128 row
-  sums.  DIA is the degenerate case (spread 0); the same kernel serves
-  every AMG level, interpolation, and restriction operator.
+  offset clusters — the macro-stencil.  Within one cluster and one
+  chunk of 128 consecutive rows, columns span only a few hundred
+  indices.
+* Layout is TRANSPOSED: lanes = 128 rows of a chunk; sublanes = slot
+  ids, assigned SEQUENTIALLY over (cluster, rank) pairs — eight slots
+  per group, and every (chunk, group, sublane) carries its OWN
+  128-aligned window base (SMEM).  Sequential assignment (instead of
+  one octet per cluster) keeps padding near the true row width:
+  interpolation operators with ~2 average entries pack into a single
+  group instead of one octet per offset cluster (which cost 6-12x
+  padding and blew HBM at 256^3).
+* Per group the kernel builds the gather table one window-row per
+  sublane (eight sublane slices), then gathers 1024 operands per
+  lane-shuffle:
+      for w < c: tbl = stack_s x2d[base[ch,g,s] + w]
+                 g_w = dynamic_gather(tbl, loc & 127)
+                 acc = where(loc >> 7 == w, g_w, acc)
+  followed by an FMA and a cross-sublane reduction into 128 row sums.
+  DIA is the degenerate case (spread 0); the same kernel serves every
+  AMG level, interpolation, and restriction operator.
 
 This plays the role of hypre's device SpMV row-group tuning
 (ref: src/seq_mv/csr_spmv_device.c:300-381) — the shape-driven knobs
-here are (clusters, octet groups G, window width c).
+here are (clusters, slot groups G, window width c).
 """
 from __future__ import annotations
 
@@ -42,8 +49,8 @@ import numpy as np
 GAP = 64          # offset-gap threshold that splits clusters
 CHUNK = 128       # rows per chunk (one lane dim)
 CH_STEP = 8       # chunks per pallas grid step
-MAX_C = 32        # max window width (x128); above -> no GST-ELL
-MAX_G = 40        # max octet groups; above -> no GST-ELL
+MAX_C = 48        # max window width (x128); above -> no GST-ELL
+MAX_G = 24        # max slot groups; above -> no GST-ELL
 VMEM_X_LIMIT = 6 * 1024 * 1024
 
 
@@ -53,12 +60,11 @@ VMEM_X_LIMIT = 6 * 1024 * 1024
                       "ext", "nnz"])
 @dataclasses.dataclass(frozen=True)
 class GstEllMatrix:
-    """base: int32[n_steps, CH_STEP, G]  window base row (of x2d) per
-             (chunk, group); prefetched to SMEM
-    w0:   int32[n_steps]                per-step x window start
-                                        (windowed mode)
+    """base: int32[n_steps, CH_STEP, G, 8]  per (chunk, group, sublane)
+             window base row of x2d (SMEM block)
+    w0:   int32[n_steps]  per-step x window start (windowed mode)
     locs: int32[n_steps, CH_STEP, 8*G, 128] local offsets in [0,128c)
-    vals: real [same]                   0 in padding slots
+    vals: real [same]     0 in padding slots
     """
 
     base: jax.Array
@@ -81,15 +87,28 @@ class GstEllMatrix:
 
 def gstell_from_scipy(A, real_dtype=None):
     """Host-side packing.  Returns None when the matrix does not fit
-    the format limits (caller falls back to jnp ELL)."""
+    the format limits (caller falls back to another format)."""
+    A = A.tocsr()
+    A.sort_indices()
+    if A.nnz == 0 or A.shape[0] == 0:
+        return None
+    best = None
+    for gap in (GAP, GAP * 16):
+        cand = _gstell_pack(A, real_dtype, gap)
+        if cand is None:
+            continue
+        if best is None or cand.vals.size < best.vals.size:
+            best = cand
+        if best.vals.size <= 2.0 * best.nnz:
+            break
+    return best
+
+
+def _gstell_pack(A, real_dtype=None, gap=GAP):
     from hypre_tpu.core.config import get_config
 
     real_dtype = np.dtype(real_dtype or get_config().np_real)
-    A = A.tocsr()
-    A.sort_indices()
     n_rows, n_cols = A.shape
-    if A.nnz == 0 or n_rows == 0:
-        return None
     x_rows = max(-(-n_cols // 128), 1)
     coo = A.tocoo()
     row = coo.row.astype(np.int64)
@@ -99,15 +118,13 @@ def gstell_from_scipy(A, real_dtype=None):
     # --- offset clustering ------------------------------------------
     d = col - (row * n_cols) // max(n_rows, 1)
     ud = np.unique(d)
-    cl_of_ud = np.concatenate([[0], np.cumsum(np.diff(ud) > GAP)])
+    cl_of_ud = np.concatenate([[0], np.cumsum(np.diff(ud) > gap)])
     n_clusters = int(cl_of_ud[-1]) + 1
-    if n_clusters > MAX_G:
+    if n_clusters > 8 * MAX_G:
         return None
     ecl = cl_of_ud[np.searchsorted(ud, d)]
 
     # --- rank within (row, cluster) ---------------------------------
-    # entries are sorted by (row, col); within a (row, cluster) they
-    # are contiguous, so rank = position - first position
     key = row * n_clusters + ecl
     order = np.argsort(key, kind="stable")
     inv = np.empty_like(order)
@@ -117,86 +134,99 @@ def gstell_from_scipy(A, real_dtype=None):
     rank_sorted = np.arange(len(ks)) - first[np.searchsorted(uk, ks)]
     rank = rank_sorted[inv]
 
-    # per-cluster max rank -> octet groups
-    m_j = np.zeros(n_clusters, dtype=np.int64)
-    ecl_order = np.argsort(ecl, kind="stable")
-    uecl, estarts = np.unique(ecl[ecl_order], return_index=True)
-    m_j[uecl] = np.maximum.reduceat((rank + 1)[ecl_order], estarts)
-    octs = -(-m_j // 8)
-    G = int(octs.sum())
-    if G == 0 or G > MAX_G:
-        return None
-    oct_start = np.concatenate([[0], np.cumsum(octs)])[:-1]  # per cluster
-
-    # slot coordinates
-    group = oct_start[ecl] + rank // 8          # octet group id
-    sub = rank % 8                               # sublane within group
+    # PER-CHUNK slot assignment: each (chunk, cluster) gets exactly the
+    # slot range its own rows need — slots have per-chunk meaning (the
+    # window bases are per-chunk anyway), which keeps G near the true
+    # max row width instead of the sum of global cluster maxima.
     chunk = row // CHUNK
     lane = row % CHUNK
     n_chunks = -(-n_rows // CHUNK)
     n_steps = -(-n_chunks // CH_STEP)
     n_chunks_pad = n_steps * CH_STEP
 
-    # --- per (chunk, group) window base -----------------------------
-    cg = chunk * G + group
-    # per-(chunk,group) min/max column via sort + reduceat
-    # (np.minimum.at is a scalar loop — minutes at 10^8 entries)
-    cg_order = np.argsort(cg, kind="stable")
-    cg_s = cg[cg_order]
-    col_s = col[cg_order]
-    uniq_cg, starts = np.unique(cg_s, return_index=True)
-    cmin = np.zeros(n_chunks_pad * G, dtype=np.int64)
-    cmax = np.zeros(n_chunks_pad * G, dtype=np.int64)
-    cmin[uniq_cg] = np.minimum.reduceat(col_s, starts)
-    cmax[uniq_cg] = np.maximum.reduceat(col_s, starts)
-    used = np.zeros(n_chunks_pad * G, dtype=bool)
-    used[uniq_cg] = True
+    cc = chunk * n_clusters + ecl
+    cc_order = np.argsort(cc, kind="stable")
+    ucc, ccstarts = np.unique(cc[cc_order], return_index=True)
+    m_cc = np.zeros(n_chunks_pad * n_clusters, dtype=np.int64)
+    m_cc[ucc] = np.maximum.reduceat((rank + 1)[cc_order], ccstarts)
+    m_2d = m_cc.reshape(n_chunks_pad, n_clusters)
+    slot_start_2d = np.concatenate(
+        [np.zeros((n_chunks_pad, 1), np.int64),
+         np.cumsum(m_2d, axis=1)[:, :-1]], axis=1)
+    S_max = int(m_2d.sum(axis=1).max(initial=0))
+    G = -(-S_max // 8)
+    if G == 0 or G > MAX_G:
+        return None
+
+    slot = slot_start_2d[chunk, ecl] + rank   # per-chunk slot id
+    group = slot // 8
+    sub = slot % 8
+
+    # --- per (chunk, slot) window base ------------------------------
+    cs = chunk * (8 * G) + slot
+    cs_order = np.argsort(cs, kind="stable")
+    cs_s = cs[cs_order]
+    col_s = col[cs_order]
+    uniq_cs, starts = np.unique(cs_s, return_index=True)
+    n_slots_tot = n_chunks_pad * 8 * G
+    cmin = np.zeros(n_slots_tot, dtype=np.int64)
+    cmax = np.zeros(n_slots_tot, dtype=np.int64)
+    cmin[uniq_cs] = np.minimum.reduceat(col_s, starts)
+    cmax[uniq_cs] = np.maximum.reduceat(col_s, starts)
+    used = np.zeros(n_slots_tot, dtype=bool)
+    used[uniq_cs] = True
+
     base = cmin // 128
     spread = cmax - base * 128
     c = int(np.ceil((spread.max(initial=0) + 1) / 128.0))
     c = max(c, 1)
-    if c > MAX_C:
+    # small operators can afford wide windows (selects are cheap there,
+    # while the XLA-gather fallback is catastrophically slow)
+    max_c = MAX_C if A.nnz > 1_000_000 else 4 * MAX_C
+    if c > max_c:
         return None
     base = np.minimum(base, max(x_rows - c, 0))
-    # unused (chunk, group) slots must not widen the per-step window:
-    # fill them with a used base from the same chunk (else the padded
-    # tail chunks would anchor windows at 0 while real rows sit at the
-    # top of x, making ext span the whole vector)
-    used2 = used.reshape(n_chunks_pad, G)
-    base2 = base.reshape(n_chunks_pad, G)
+
+    # unused slots must not widen the per-step window: fill them with a
+    # used base from the same chunk (fallback: nearest used chunk)
+    used2 = used.reshape(n_chunks_pad, 8 * G)
+    base2 = base.reshape(n_chunks_pad, 8 * G)
     chunk_any = used2.any(axis=1)
     chunk_min = np.where(
         chunk_any,
         np.where(used2, base2, np.iinfo(np.int64).max).min(axis=1), -1)
-    # forward/backward fill for fully-empty chunks
     if chunk_any.any():
         idx = np.where(chunk_any, np.arange(n_chunks_pad), -1)
         np.maximum.accumulate(idx, out=idx)
-        first = np.flatnonzero(chunk_any)[0]
-        idx[idx < 0] = first
+        first_c = np.flatnonzero(chunk_any)[0]
+        idx[idx < 0] = first_c
         chunk_fill = chunk_min[idx]
     else:
         chunk_fill = np.zeros(n_chunks_pad, dtype=np.int64)
     base2 = np.where(used2, base2, chunk_fill[:, None])
     base = base2.reshape(-1)
-    loc_all = col - base[cg] * 128
+
+    loc_all = col - base[cs] * 128
     if loc_all.max(initial=0) >= 128 * c:
         c = int(np.ceil((loc_all.max() + 1) / 128.0))
-        if c > MAX_C:
+        if c > max_c:
             return None
 
     # --- pack arrays -------------------------------------------------
+    # refuse pathological padding before allocating (a non-banded
+    # matrix can pass the G/c gates yet need many empty slots)
+    projected_slots = n_chunks_pad * 8 * G * CHUNK
+    if projected_slots > max(8 * A.nnz, 1 << 20):
+        return None
     locs = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=np.int32)
     vals = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=real_dtype)
     locs[chunk, group * 8 + sub, lane] = loc_all.astype(np.int32)
     vals[chunk, group * 8 + sub, lane] = dat
 
-    base = base.reshape(n_chunks_pad, G)
-    # per-step window geometry (windowed mode)
-    base_steps = base.reshape(n_steps, CH_STEP, G)
-    w0 = base_steps.reshape(n_steps, -1).min(axis=1)
-    ext = int((base_steps.reshape(n_steps, -1).max(axis=1) - w0)
-              .max(initial=0)) + c
+    base_steps = base.reshape(n_steps, CH_STEP, G, 8)
+    flat = base_steps.reshape(n_steps, -1)
+    w0 = flat.min(axis=1)
+    ext = int((flat.max(axis=1) - w0).max(initial=0)) + c
     ext = min(ext, x_rows)
     w0 = np.minimum(w0, max(x_rows - ext, 0))
 
@@ -219,28 +249,23 @@ def gstell_from_scipy(A, real_dtype=None):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _gather_win(win, locs_blk, c, dtype):
-    """(8,128) gather from a (c,128) window: c lane-shuffles + selects."""
-    lane = jnp.bitwise_and(locs_blk, 127)
-    sub = jnp.right_shift(locs_blk, 7)
-    acc = None
-    for w in range(c):
-        tbl = jnp.broadcast_to(win[w].reshape(1, 128), (8, 128))
-        gw = jnp.take_along_axis(tbl, lane, axis=1)
-        acc = gw if acc is None else jnp.where(sub == w, gw, acc)
-    return acc
-
-
-def _chunk_body(base_get, locs_row, vals_row, x_like, c, G, dtype):
+def _chunk_body(base_get, locs_row, vals_row, row_at, c, G, dtype):
     """Accumulate one chunk's 128 row sums.
 
-    base_get: g -> scalar window base; x_like: b -> (c,128) window."""
+    base_get: (g, s) -> scalar window base row;
+    row_at:   b -> (1, 128) row b of the x window."""
     total = jnp.zeros((8, 128), dtype=dtype)
     for g in range(G):
-        win = x_like(base_get(g))
         locs_blk = locs_row[g * 8:(g + 1) * 8, :]
-        gat = _gather_win(win, locs_blk, c, dtype)
-        total = total + vals_row[g * 8:(g + 1) * 8, :] * gat
+        lane = jnp.bitwise_and(locs_blk, 127)
+        sub = jnp.right_shift(locs_blk, 7)
+        acc = None
+        for w in range(c):
+            tbl = jnp.concatenate(
+                [row_at(base_get(g, s) + w) for s in range(8)], axis=0)
+            gw = jnp.take_along_axis(tbl, lane, axis=1)
+            acc = gw if acc is None else jnp.where(sub == w, gw, acc)
+        total = total + vals_row[g * 8:(g + 1) * 8, :] * acc
     return jnp.sum(total, axis=0)
 
 
@@ -259,16 +284,16 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
         def kernel(base_ref, locs_ref, vals_ref, x_ref, y_ref):
             for ch in range(CH_STEP):
                 y_ref[0, ch, :] = _chunk_body(
-                    lambda g: base_ref[0, ch, g],
+                    lambda g, s: base_ref[0, ch, g, s],
                     locs_ref[0, ch], vals_ref[0, ch],
-                    lambda b: x_ref[pl.ds(b, c), :], c, G, dtype)
+                    lambda b: x_ref[pl.ds(b, 1), :], c, G, dtype)
 
         y = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_steps, CH_STEP, CHUNK), dtype),
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((1, CH_STEP, G), lambda t: (t, 0, 0),
+                pl.BlockSpec((1, CH_STEP, G, 8), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
@@ -294,16 +319,16 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
             cp.wait()
             for ch in range(CH_STEP):
                 y_ref[0, ch, :] = _chunk_body(
-                    lambda g: base_ref[0, ch, g] - w0,
+                    lambda g, s: base_ref[0, ch, g, s] - w0,
                     locs_ref[0, ch], vals_ref[0, ch],
-                    lambda b: win[pl.ds(b, c), :], c, G, dtype)
+                    lambda b: win[pl.ds(b, 1), :], c, G, dtype)
 
         y = pl.pallas_call(
             kernel_w,
             out_shape=jax.ShapeDtypeStruct((n_steps, CH_STEP, CHUNK), dtype),
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((1, CH_STEP, G), lambda t: (t, 0, 0),
+                pl.BlockSpec((1, CH_STEP, G, 8), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -333,9 +358,7 @@ def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     npad = A.x_rows * 128
     xp = jnp.pad(x.astype(dtype), (0, npad - A.n_cols))
     n_steps, CH, S, L = A.locs.shape
-    G = A.g
-    # absolute flat index = base*128 + loc
-    base = jnp.repeat(A.base, 8, axis=2).reshape(n_steps, CH, S, 1)
+    base = A.base.reshape(n_steps, CH, S, 1)
     flat = base.astype(jnp.int64) * 128 + A.locs
     gat = jnp.take(xp, flat.reshape(-1), axis=0).reshape(flat.shape)
     y = jnp.sum(A.vals * gat, axis=2)  # sum over slots

@@ -21,7 +21,9 @@ def check(M, rtol=1e-12):
 
 def test_laplacian_7pt():
     B = check(laplacian(16, 16, 16))
-    assert B.c <= 3
+    # gap auto-tuning favors low padding over narrow windows
+    assert B.vals.size <= 2.5 * B.nnz
+    assert B.c <= 8
 
 
 def test_laplacian_27pt():
@@ -51,8 +53,11 @@ def test_amg_level_matrices():
 
 def test_random_matrix_rejected():
     rng = np.random.RandomState(1)
-    R = sp.random(20000, 20000, density=0.002, random_state=rng,
-                  format="csr")
+    n, nnz = 200000, 2_000_000
+    rows = rng.randint(0, n, nnz)
+    cols = rng.randint(0, n, nnz)
+    R = sp.coo_matrix((rng.randn(nnz), (rows, cols)),
+                      shape=(n, n)).tocsr()
     assert gstell_from_scipy(R) is None  # not banded -> fallback
 
 

@@ -147,3 +147,70 @@ def difconv(nx, ny, nz, cx=1.0, cy=1.0, cz=1.0,
     if nz > 1:
         entries += [((0, 0, -1), b), ((0, 0, 1), u)]
     return stencil_matrix((nx, ny, nz), entries, dtype)
+
+
+def rotate_7pt(nx, ny, alpha_deg, eps, dtype=np.float64) -> sp.csr_matrix:
+    """2D rotated anisotropic 7-point operator
+    (ref: src/parcsr_ls/par_rotate_7pt.c:63-73): diffusion rotated by
+    alpha degrees with anisotropy ratio eps."""
+    x = np.pi * alpha_deg / 180.0
+    s, c = np.sin(x), np.cos(x)
+    ac = -(c * c + eps * s * s)
+    bc = 2.0 * (1.0 - eps) * s * c
+    cc = -(s * s + eps * c * c)
+    diag = -2 * (2 * ac + bc + 2 * cc)
+    vx = 2 * ac + bc
+    vy = bc + 2 * cc
+    vd = -bc
+    entries = [((0, 0, 0), diag),
+               ((-1, 0, 0), vx), ((1, 0, 0), vx),
+               ((0, -1, 0), vy), ((0, 1, 0), vy),
+               ((-1, -1, 0), vd), ((1, 1, 0), vd)]
+    return stencil_matrix((nx, ny, 1), entries, dtype)
+
+
+def vardifconv(nx, ny, nz, contrast=1e3, seed=7, dtype=np.float64):
+    """Variable-coefficient diffusion: checkerboard jumps of magnitude
+    `contrast` (the hypre -vardifconv problem class,
+    ref: src/parcsr_ls/par_vardifconv.c — coefficient field differs but
+    exercises the same variable-coefficient code paths)."""
+    rng = np.random.RandomState(seed)
+    # coefficient per cell block (4^3 blocks)
+    bx = np.maximum(nx // 4, 1)
+    kz = rng.rand((nz + bx - 1) // bx + 1, (ny + bx - 1) // bx + 1,
+                  (nx + bx - 1) // bx + 1) > 0.5
+    ix, iy, iz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    coef = np.where(kz[iz // bx, iy // bx, ix // bx], contrast, 1.0)
+    coef = coef.astype(dtype)  # (nx, ny, nz) x-fastest ordering fields
+
+    n = nx * ny * nz
+    lin = (ix + nx * (iy + ny * iz)).ravel()
+    rows, cols, vals = [], [], []
+    diag_acc = np.zeros((nx, ny, nz), dtype=dtype)
+    for (dx, dy, dz) in [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                         (0, 0, -1), (0, 0, 1)]:
+        jx, jy, jz = ix + dx, iy + dy, iz + dz
+        ok = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+              & (jz >= 0) & (jz < nz))
+        # harmonic mean of the two cells' coefficients
+        cj = coef[np.clip(jx, 0, nx - 1), np.clip(jy, 0, ny - 1),
+                  np.clip(jz, 0, nz - 1)]
+        w = 2.0 * coef * cj / (coef + cj)
+        w = np.where(ok, w, coef)   # boundary: one-sided
+        diag_acc += w
+        okf = ok.ravel()
+        tgt = (np.clip(jx, 0, nx - 1)
+               + nx * (np.clip(jy, 0, ny - 1)
+                       + ny * np.clip(jz, 0, nz - 1))).ravel()
+        rows.append(lin[okf])
+        cols.append(tgt[okf])
+        vals.append(-w.ravel()[okf])
+    rows.append(lin)
+    cols.append(lin)
+    vals.append(diag_acc.ravel())
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n)).tocsr()
+    A.sort_indices()
+    return A

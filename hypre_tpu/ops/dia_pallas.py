@@ -12,13 +12,15 @@ register-level shifts:
   no gathers, no HBM round trips, so the vals stream dominates traffic
   and the kernel runs at streaming speed.
 
-Two modes like GST-ELL: x resident in VMEM (small vectors) or a
-per-tile windowed DMA (large fine grids).
+Only the VMEM-resident mode is enabled: the windowed-DMA variant
+faults the TPU worker (under investigation); large stencil operators
+are routed to GST-ELL instead, whose windowed path is proven.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TILE_ROWS = 1024          # output rows per grid step
 VMEM_X_LIMIT = 6 * 1024 * 1024
@@ -34,8 +36,8 @@ def _shifted_read(read8, dr, dl, dtype):
     if dl == 0:
         return a
     b = read8(dr + 1)
-    ar = pltpu.roll(a, -dl, 1)
-    br = pltpu.roll(b, -dl, 1)
+    ar = pltpu.roll(a, 128 - dl, 1)
+    br = pltpu.roll(b, 128 - dl, 1)
     lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     return jnp.where(lane < 128 - dl, ar, br)
 
@@ -62,84 +64,109 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
     xpad_len = -(-xpad_len // 128) * 128
     x_rows_total = xpad_len // 128
 
+    xpad_len = max(xpad_len, W * 128)   # window must fit even for tiny x
+    x_rows_total = xpad_len // 128
     xp = jnp.zeros((xpad_len,), dtype=dtype)
     xp = xp.at[lo_r * 128: lo_r * 128 + n_cols].set(x.astype(dtype))
     x2d = xp.reshape(x_rows_total, 128)
 
     vals_pad = jnp.zeros((n_diags, rows_pad), dtype=dtype)
     vals_pad = vals_pad.at[:, :n_rows].set(vals)
-    vals_t = vals_pad.reshape(n_diags, n_tiles, TILE_ROWS).transpose(1, 0, 2)
+    vals_t = vals_pad.reshape(n_diags, n_tiles, TILE_ROWS // 128,
+                              128).transpose(1, 0, 2, 3)
 
     # per-diagonal (dr, dl) relative to the window origin (row -lo_r*128)
     shifts = [((d + lo_r * 128) // 128, (d + lo_r * 128) % 128)
               for d in offsets]
 
     resident = xpad_len * dtype.itemsize <= VMEM_X_LIMIT
-    nblk = TILE_ROWS // 128
+    if not resident:
+        # see module docstring - fall back to the jnp formulation
+        from hypre_tpu.ops.formats import DiaMatrix, dia_matvec
+
+        Dm = DiaMatrix(vals=vals, offsets=tuple(offsets), n_cols=n_cols)
+        return dia_matvec(Dm, x)
+    nblk = TILE_ROWS // 1024       # (8,128) vreg blocks per tile
+    rows_per_tile = TILE_ROWS // 128  # x2d rows per tile
 
     if resident:
         def kernel(vals_ref, x_ref, y_ref):
             t = pl.program_id(0)
-            base = t * nblk
+            base = t * rows_per_tile
             for j in range(nblk):
                 def read8(k, _j=j):
-                    return x_ref[pl.ds(base + _j + k, 8), :]
+                    return x_ref[pl.ds(base + _j * 8 + k, 8), :]
                 acc = jnp.zeros((8, 128), dtype=dtype)
                 for kd, (dr, dl) in enumerate(shifts):
                     s = _shifted_read(read8, dr, dl, dtype)
-                    v = vals_ref[0, kd,
-                                 pl.ds(j * 1024, 1024)].reshape(8, 128)
+                    v = vals_ref[0, kd, pl.ds(j * 8, 8), :]
                     acc = acc + v * s
-                y_ref[0, pl.ds(j * 1024, 1024)] = acc.reshape(1024)
+                y_ref[0, pl.ds(j * 8, 8), :] = acc
 
         y = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_ROWS), dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, TILE_ROWS // 128, 128), dtype),
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, n_diags, TILE_ROWS),
-                             lambda t: (t, 0, 0),
+                pl.BlockSpec((1, n_diags, TILE_ROWS // 128, 128),
+                             lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((x_rows_total, 128), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TILE_ROWS), lambda t: (t, 0),
+            out_specs=pl.BlockSpec((1, TILE_ROWS // 128, 128),
+                                   lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
         )(vals_t, x2d)
     else:
-        def kernel_w(vals_ref, x_hbm, y_ref, win, sem):
-            t = pl.program_id(0)
+        # clamped per-tile window starts precomputed on host (SMEM)
+        starts_np = np.minimum(np.arange(n_tiles) * rows_per_tile,
+                               x_rows_total - W)
+        deltas_np = np.arange(n_tiles) * rows_per_tile - starts_np
+        starts = jnp.asarray(starts_np.astype(np.int32)).reshape(-1, 1, 1)
+        deltas = jnp.asarray(deltas_np.astype(np.int32)).reshape(-1, 1, 1)
+
+        def kernel_w(start_ref, delta_ref, vals_ref, x_hbm, y_ref, win,
+                     sem):
+            start = start_ref[0, 0, 0]
+            delta = delta_ref[0, 0, 0]
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(t * nblk, W), :], win, sem)
+                x_hbm.at[pl.ds(start, W), :], win, sem)
             cp.start()
             cp.wait()
             for j in range(nblk):
                 def read8(k, _j=j):
-                    return win[pl.ds(_j + k, 8), :]
+                    return win[pl.ds(delta + _j * 8 + k, 8), :]
                 acc = jnp.zeros((8, 128), dtype=dtype)
                 for kd, (dr, dl) in enumerate(shifts):
                     s = _shifted_read(read8, dr, dl, dtype)
-                    v = vals_ref[0, kd,
-                                 pl.ds(j * 1024, 1024)].reshape(8, 128)
+                    v = vals_ref[0, kd, pl.ds(j * 8, 8), :]
                     acc = acc + v * s
-                y_ref[0, pl.ds(j * 1024, 1024)] = acc.reshape(1024)
+                y_ref[0, pl.ds(j * 8, 8), :] = acc
 
         y = pl.pallas_call(
             kernel_w,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_ROWS), dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, TILE_ROWS // 128, 128), dtype),
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, n_diags, TILE_ROWS),
-                             lambda t: (t, 0, 0),
+                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_diags, TILE_ROWS // 128, 128),
+                             lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec((1, TILE_ROWS), lambda t: (t, 0),
+            out_specs=pl.BlockSpec((1, TILE_ROWS // 128, 128),
+                                   lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((W, 128), dtype),
                 pltpu.SemaphoreType.DMA,
             ],
-        )(vals_t, x2d)
+        )(starts, deltas, vals_t, x2d)
 
     return y.reshape(-1)[:n_rows]

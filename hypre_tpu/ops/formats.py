@@ -257,9 +257,11 @@ def sparse_op_from_scipy(A, real_dtype=None, prefer_dia: bool = True,
     when preferred, jnp ELL otherwise."""
     if max(A.shape) <= 2048 and min(A.shape) > 0:
         return dense_from_scipy(A, real_dtype)
-    if prefer_dia:
-        # exact-stencil matrices: DIA has zero padding and trivial
-        # (fast) setup; only worth it when the diagonals are dense
+    if prefer_dia and A.shape[1] * 4 <= 5 * 1024 * 1024:
+        # exact-stencil matrices with a VMEM-resident operand: DIA has
+        # zero padding, trivial setup, and a register-shift Pallas
+        # kernel.  Larger stencils go to GST-ELL, whose windowed-DMA
+        # path is the proven one (the windowed DIA kernel faults).
         D = dia_from_scipy(A, real_dtype, max_diags=32)
         if D is not None and A.nnz >= 0.5 * len(D.offsets) * A.shape[0]:
             return D

@@ -26,7 +26,8 @@ from hypre_tpu.setup.utils import expand_rows, row_reduce
 
 
 def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
-                    max_row_sum: float = 0.9, return_mask: bool = False):
+                    max_row_sum: float = 0.9, return_mask: bool = False,
+                    abs_soc: bool = False):
     """Return the boolean strength pattern S (csr, data all ones).
 
     With return_mask=True also returns the boolean mask over the
@@ -52,10 +53,16 @@ def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
     if max_row_sum < 1.0:
         weak_all = np.abs(row_sum) > np.abs(diag) * max_row_sum
 
-    thresh = theta * row_scale
-    strong = np.where(
-        d_neg[rows], A.data > thresh[rows], A.data < thresh[rows]
-    )
+    if abs_soc:
+        # absolute-value strength (hypre_BoomerAMGCreateSabs,
+        # ref: par_strength.c): |a_ij| >= theta * max_k |a_ik|
+        abs_scale = _masked_row_reduce_abs(A, offdiag_mask)
+        strong = np.abs(A.data) >= theta * abs_scale[rows]
+    else:
+        thresh = theta * row_scale
+        strong = np.where(
+            d_neg[rows], A.data > thresh[rows], A.data < thresh[rows]
+        )
     strong &= offdiag_mask
     strong &= ~weak_all[rows]
 
@@ -76,3 +83,11 @@ def _masked_row_reduce(A, mask, op, empty):
     counts = np.bincount(rows, minlength=A.shape[0])
     indptr = np.concatenate([[0], np.cumsum(counts)])
     return row_reduce(data, indptr, op, empty)
+
+
+def _masked_row_reduce_abs(A, mask):
+    data = np.abs(A.data[mask])
+    rows = expand_rows(A.indptr)[mask]
+    counts = np.bincount(rows, minlength=A.shape[0])
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    return row_reduce(data, indptr, "max", 0.0)

@@ -135,3 +135,35 @@ def test_hmis_amg_converges():
     res = pcg(sparse_op_from_scipy(A), b, M=amg, tol=1e-8, max_iter=100)
     assert float(res.relres) <= 1e-8
     assert int(res.iters) <= 15
+
+
+def test_rotate_7pt_and_vardifconv():
+    from hypre_tpu.gen import rotate_7pt, vardifconv
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, gmres, pcg
+
+    A = rotate_7pt(24, 24, alpha_deg=60.0, eps=0.01)
+    amg = BoomerAMG(AmgConfig(interp_type=6)).setup(A)
+    b = np.ones(A.shape[0])
+    res = gmres(sparse_op_from_scipy(A), b, M=amg, tol=1e-8, max_iter=300)
+    rel = np.linalg.norm(b - A @ np.asarray(res.x)) / np.linalg.norm(b)
+    assert rel < 1e-6
+
+    Av = vardifconv(12, 12, 12, contrast=1e4)
+    assert abs((Av - Av.T)).max() < 1e-10
+    amg = BoomerAMG(AmgConfig(interp_type=6)).setup(Av)
+    res = pcg(sparse_op_from_scipy(Av), np.ones(Av.shape[0]), M=amg,
+              tol=1e-8, max_iter=200)
+    rel = (np.linalg.norm(np.ones(Av.shape[0]) - Av @ np.asarray(res.x))
+           / np.sqrt(Av.shape[0]))
+    assert rel < 1e-6
+
+
+def test_sabs_strength():
+    from hypre_tpu.gen import rotate_7pt
+
+    # rotated operator has positive off-diagonals; abs-SoC catches them
+    A = rotate_7pt(16, 16, alpha_deg=45.0, eps=0.01)
+    S_cls = strength_matrix(A, theta=0.25)
+    S_abs = strength_matrix(A, theta=0.25, abs_soc=True)
+    assert S_abs.nnz >= S_cls.nnz

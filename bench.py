@@ -42,16 +42,21 @@ def main():
     op = sparse_op_from_scipy(A)
     b = np.ones(A.shape[0], dtype=np.float32)
 
-    # compile + warm up; the timed run uses a scaled rhs so the remote
-    # execution cache cannot return a memoized result (convergence is
-    # scaling-invariant, so the work is identical)
+    # compile + warm up; then time three solves with distinct scaled
+    # rhs (convergence is scaling-invariant so the work is identical)
+    # and take the MEDIAN — the remote-execution layer memoizes
+    # (executable, input) pairs and a single repeat can report a
+    # fantasy sub-millisecond time.
     res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
     jax.block_until_ready(res.x)
-    b2 = b * np.float32(1.0 + 1.0 / 1024.0)
-    t0 = time.time()
-    res = pcg(A=op, b=b2, M=amg, tol=1e-6, max_iter=100)
-    jax.block_until_ready(res.x)
-    t_solve = time.time() - t0
+    times = []
+    for t in range(3):
+        bt = b * np.float32(1.0 + (t + 1) * 0.0137)
+        t0 = time.time()
+        res = pcg(A=op, b=bt, M=amg, tol=1e-6, max_iter=100)
+        jax.block_until_ready(res.x)
+        times.append(time.time() - t0)
+    t_solve = float(np.median(times))
 
     iters = int(res.iters)
     nnz = A.nnz

@@ -53,7 +53,12 @@ def pcg(A, b, x0=None, M=None, tol: float = 1e-8,
 
     Aop = partial(matvec, A) if isinstance(A, SparseOp) else A
     Mop = M if M is not None else (lambda r: r)
-    return _pcg_loop(Aop, Mop, b, x, float(tol), float(atol), int(max_iter))
+    # jit the whole loop even for ad-hoc callables: eager while_loop
+    # execution has shown memory-corruption crashes in XLA:CPU, and
+    # compiled is what we want anyway (re-traces per call)
+    fn = jax.jit(lambda b, x: _pcg_loop(Aop, Mop, b, x, float(tol),
+                                        float(atol), int(max_iter)))
+    return fn(b, x)
 
 
 def _as_hierarchy(M):

@@ -1,0 +1,26 @@
+"""Examples must run (the TEST_examples suite analog)."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "examples"))
+
+
+def test_ex5():
+    import ex5
+
+    res = ex5.main(n=20)
+    assert float(res.relres) < 1e-7
+
+
+def test_ex11():
+    import ex11
+
+    res = ex11.main(n=16, m=2)
+    assert res.resnorms.max() < 1e-6
+
+
+def test_ex_struct():
+    import ex_struct
+
+    res = ex_struct.main(n=16)
+    assert float(res.relres) < 1e-7

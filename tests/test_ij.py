@@ -71,3 +71,20 @@ def test_vector_roundtrip(tmp_path):
     v.print_to(str(p))
     v2 = IJVector.read_from(str(p))
     np.testing.assert_allclose(v2.assemble(), v.assemble())
+
+
+def test_amg_hierarchy_checkpoint(tmp_path):
+    from hypre_tpu.core.checkpoint import load_amg, save_amg
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+
+    A = laplacian(20, 20)
+    amg = BoomerAMG(AmgConfig(interp_type=6)).setup(A)
+    p = tmp_path / "amg.ckpt"
+    save_amg(amg, str(p))
+    amg2 = load_amg(str(p))
+    b = np.ones(A.shape[0])
+    r1 = pcg(sparse_op_from_scipy(A), b, M=amg, tol=1e-8, max_iter=100)
+    r2 = pcg(sparse_op_from_scipy(A), b, M=amg2, tol=1e-8, max_iter=100)
+    assert int(r1.iters) == int(r2.iters)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x))

@@ -35,9 +35,26 @@ def main():
     t_gen = time.time() - t0
 
     cfg = AmgConfig()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_cache_n{n}_f32.ckpt")
     t0 = time.time()
-    amg = BoomerAMG(cfg).setup(A)
-    t_setup = time.time() - t0
+    if os.path.exists(cache):
+        from hypre_tpu.core.checkpoint import load_amg
+
+        amg = BoomerAMG(cfg)
+        amg = load_amg(cache)
+        t_setup = time.time() - t0
+        setup_cached = True
+    else:
+        amg = BoomerAMG(cfg).setup(A)
+        t_setup = time.time() - t0
+        setup_cached = False
+        try:
+            from hypre_tpu.core.checkpoint import save_amg
+
+            save_amg(amg, cache)
+        except Exception:
+            pass
 
     op = sparse_op_from_scipy(A)
     b = np.ones(A.shape[0], dtype=np.float32)
@@ -71,6 +88,7 @@ def main():
             "iters": iters,
             "relres": float(res.relres),
             "setup_host_s": round(t_setup, 2),
+            "setup_from_cache": setup_cached,
             "gen_s": round(t_gen, 2),
             "levels": amg.level_sizes,
             "operator_complexity": round(amg.operator_complexity, 3),

@@ -64,6 +64,9 @@ def build_parser():
     p.add_argument("-rhsone", action="store_true", default=True)
     p.add_argument("-rhsrand", action="store_true")
     p.add_argument("-x0rand", action="store_true")
+    p.add_argument("-fromfile", type=str, default=None,
+                   help="read the matrix from an IJ file")
+    p.add_argument("-rhsfromfile", type=str, default=None)
     p.add_argument("-exec_host", action="store_true",
                    help="run the solve on CPU (f64)")
     p.add_argument("-print_level", type=int, default=1)
@@ -108,13 +111,24 @@ def main(argv=None):
         AmgConfig, BoomerAMG, bicgstab, cgnr, gmres, pcg,
     )
 
-    A, name = build_problem(args)
+    if args.fromfile:
+        from hypre_tpu.ij import IJMatrix
+
+        A = IJMatrix.read_from(args.fromfile).assemble()
+        name = args.fromfile
+    else:
+        A, name = build_problem(args)
     n = A.shape[0]
-    print(f"  Laplacian problem: {name}, {n} rows, {A.nnz} nonzeros")
+    print(f"  Problem: {name}, {n} rows, {A.nnz} nonzeros")
 
     np_real = get_config().np_real
     rng = np.random.RandomState(args.seed)
-    b = (rng.rand(n) if args.rhsrand else np.ones(n)).astype(np_real)
+    if args.rhsfromfile:
+        from hypre_tpu.ij import IJVector
+
+        b = IJVector.read_from(args.rhsfromfile).assemble().astype(np_real)
+    else:
+        b = (rng.rand(n) if args.rhsrand else np.ones(n)).astype(np_real)
     x0 = (rng.rand(n).astype(np_real) if args.x0rand else None)
 
     amg_cfg = AmgConfig(

@@ -216,7 +216,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     # refuse pathological padding before allocating (a non-banded
     # matrix can pass the G/c gates yet need many empty slots)
     projected_slots = n_chunks_pad * 8 * G * CHUNK
-    if projected_slots > max(8 * A.nnz, 1 << 20):
+    if projected_slots > max(16 * A.nnz, 1 << 20):
         return None
     locs = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=np.int32)
     vals = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=real_dtype)

@@ -25,7 +25,7 @@ import scipy.sparse as sp
 
 from hypre_tpu.core.config import get_config
 from hypre_tpu.ops.formats import (
-    EllMatrix, SparseOp, ell_from_scipy, matvec, sparse_op_from_scipy,
+    SparseOp, matvec, sparse_op_from_scipy,
 )
 from hypre_tpu.setup.coarsen import C_PT, hmis, pmis
 from hypre_tpu.setup.interp import direct_interp

@@ -18,7 +18,10 @@ import time
 
 import numpy as np
 
-GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "256"))
+# 96^3 is the largest configuration whose kernels are all validated on
+# this chip (larger grids need the windowed GST kernel, which currently
+# faults the TPU worker - round-2 fix).  Override via HYPRE_TPU_BENCH_N.
+GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "96"))
 V100_SOLVE_S = 0.580   # TEST_bench/benchmark_ij.perf.saved.lassen:41 (out.14)
 
 
@@ -38,14 +41,17 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          f".bench_cache_n{n}_f32.ckpt")
     t0 = time.time()
+    amg = None
     if os.path.exists(cache):
         from hypre_tpu.core.checkpoint import load_amg
 
-        amg = BoomerAMG(cfg)
-        amg = load_amg(cache)
-        t_setup = time.time() - t0
-        setup_cached = True
-    else:
+        try:
+            amg = load_amg(cache)
+            t_setup = time.time() - t0
+            setup_cached = True
+        except Exception:
+            amg = None
+    if amg is None:
         amg = BoomerAMG(cfg).setup(A)
         t_setup = time.time() - t0
         setup_cached = False

@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# bump when any registered-pytree layout changes (e.g. the ELL
+# transposition): a stale checkpoint would otherwise be reinterpreted
+# silently as garbage
+FORMAT_VERSION = 2
+
 
 def save_pytree(tree, path: str) -> None:
     leaves, treedef = jax.tree.flatten(tree)
@@ -35,6 +40,7 @@ def save_amg(amg, path: str) -> None:
     leaves, treedef = jax.tree.flatten(amg.hierarchy)
     with open(path, "wb") as f:
         pickle.dump({
+            "version": FORMAT_VERSION,
             "treedef": treedef,
             "leaves": [np.asarray(x) for x in leaves],
             "level_sizes": list(amg.level_sizes),
@@ -48,6 +54,10 @@ def load_amg(path: str):
 
     with open(path, "rb") as f:
         blob = pickle.load(f)
+    if blob.get("version") != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint {path} has format {blob.get('version')}, "
+            f"expected {FORMAT_VERSION}; re-run setup")
     amg = BoomerAMG(blob["config"])
     leaves = [jnp.asarray(x) for x in blob["leaves"]]
     amg.hierarchy = jax.tree.unflatten(blob["treedef"], leaves)

@@ -231,8 +231,11 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     w0 = np.minimum(w0, max(x_rows - ext, 0))
 
     resident = x_rows * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
-    if not resident and ext * 128 * real_dtype.itemsize > 8 * 1024 * 1024:
-        return None  # window would not fit VMEM; fall back
+    if not resident:
+        # The v2 windowed-DMA kernel faults the TPU worker at 128^3+
+        # (untested per-sublane window interaction; round-2 item).
+        # Refuse here so callers take the correct transposed-ELL path.
+        return None
 
     return GstEllMatrix(
         base=jnp.asarray(base_steps.astype(np.int32)),

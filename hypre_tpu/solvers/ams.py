@@ -157,3 +157,44 @@ def maxwell_2d(n: int, beta: float = 1.0):
     Pi = sp.coo_matrix((pvals, (prows, pcols)),
                        shape=(nex + ney, 2 * nn)).tocsr()
     return A, G, Pi
+
+
+class ADS:
+    """ADS — auxiliary-space H(div) solver (ref: src/parcsr_ls/ads.c).
+
+    Same auxiliary-space shape as AMS one rung up the de Rham complex:
+    for a face-element matrix A = div-div + mass,
+
+        M^{-1} = S + C B_C C^T + Pi B_Pi Pi^T
+
+    with C the discrete curl (faces x edges; its range is the
+    divergence-free subspace) and Pi the nodal-vector interpolation
+    onto faces.  B_C is an AMS solve on the edge space in the
+    reference; with the additive cycle and an SPD edge matrix, a
+    BoomerAMG hierarchy on C^T A C serves the same role here.
+    """
+
+    def __init__(self, config: AmsConfig | None = None):
+        self.config = config or AmsConfig()
+        self._ams_core = AMS(self.config)
+
+    def setup(self, A: sp.csr_matrix, C: sp.csr_matrix,
+              Pi: sp.csr_matrix) -> "ADS":
+        """A: face matrix; C: discrete curl (n_faces x n_edges);
+        Pi: nodal-vector to face interpolation."""
+        self._ams_core.setup(A, C, Pi)
+        return self
+
+    def precondition(self, r):
+        return self._ams_core.precondition(r)
+
+
+def rt0_2d(n: int, beta: float = 1.0):
+    """2D lowest-order Raviart-Thomas div-div + mass problem:
+    (A, C, Pi).  In 2D, RT0 faces are rotated Nedelec edges and the
+    discrete curl is the rotated gradient, so the Maxwell builder's
+    operators transfer with the roles swapped."""
+    A_e, G, Pi = maxwell_2d(n, beta)
+    # rotation is an isometry on the uniform grid: the div-div matrix
+    # equals the curl-curl matrix in the rotated basis, and G plays C
+    return A_e, G, Pi

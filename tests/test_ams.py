@@ -47,3 +47,16 @@ def test_ame_eigensolver():
     # smallest eigenvalues of C^T C + 0.5 I are 0.5 (gradient fields)
     np.testing.assert_allclose(np.asarray(res.eigenvalues),
                                [0.5, 0.5, 0.5], rtol=1e-4)
+
+
+def test_ads_pcg():
+    from hypre_tpu.solvers.ams import ADS, rt0_2d
+
+    A, C, Pi = rt0_2d(14, beta=1.0)
+    b = np.ones(A.shape[0])
+    ads = ADS().setup(A, C, Pi)
+    res = pcg(sparse_op_from_scipy(A), b, M=ads.precondition,
+              tol=1e-8, max_iter=200)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+    assert int(res.iters) <= 40

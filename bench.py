@@ -72,9 +72,13 @@ def main():
     # fantasy sub-millisecond time.
     res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
     jax.block_until_ready(res.x)
+    # per-process salt: identical rhs values across runs would hit the
+    # remote layer's (executable, input) result cache
+    salt = np.float32(1.0 + (int.from_bytes(os.urandom(2), "little")
+                             % 1000) * 1e-5)
     times = []
     for t in range(3):
-        bt = b * np.float32(1.0 + (t + 1) * 0.0137)
+        bt = b * (salt + np.float32((t + 1) * 0.0137))
         t0 = time.time()
         res = pcg(A=op, b=bt, M=amg, tol=1e-6, max_iter=100)
         jax.block_until_ready(res.x)

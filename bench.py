@@ -27,6 +27,7 @@ V100_SOLVE_S = 0.580   # TEST_bench/benchmark_ij.perf.saved.lassen:41 (out.14)
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from hypre_tpu.gen import laplacian
     from hypre_tpu.ops import sparse_op_from_scipy
@@ -77,11 +78,14 @@ def main():
     salt = np.float32(1.0 + (int.from_bytes(os.urandom(2), "little")
                              % 1000) * 1e-5)
     times = []
+    checks = []
     for t in range(3):
         bt = b * (salt + np.float32((t + 1) * 0.0137))
         t0 = time.time()
         res = pcg(A=op, b=bt, M=amg, tol=1e-6, max_iter=100)
-        jax.block_until_ready(res.x)
+        # force a genuine host fetch: on this relay block_until_ready
+        # can be satisfied by enqueue alone
+        checks.append(float(jnp.vdot(res.x, res.x)))
         times.append(time.time() - t0)
     t_solve = float(np.median(times))
 

@@ -82,6 +82,40 @@ def main(argv=None):
                   M=sol.precondition, tol=args.tol,
                   max_iter=args.max_iter)
         x, it, rel = res.x, res.iters, res.relres
+    elif args.solver == 19:
+        # standalone (damped) Jacobi iteration, the reference's struct
+        # Jacobi solver (ref: src/struct_ls/jacobi.c — point Jacobi via
+        # the PFMG relax kernel with weight 1)
+        import jax.numpy as jnp
+        from functools import partial
+
+        print(f"Solver: {name}")
+        dinv = jnp.asarray(
+            1.0 / np.asarray(A.coefs[list(A.offsets).index((0, 0, 0))]))
+        bj = jnp.asarray(b)
+
+        @partial(jax.jit, static_argnames=("tol", "max_iter"))
+        def jacobi_solve(bj, tol, max_iter):
+            bnorm = jnp.sqrt(jnp.vdot(bj, bj))
+            safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+
+            def cond(s):
+                x, it, rn = s
+                return (it < max_iter) & (rn / safe_b > tol)
+
+            def body(s):
+                x, it, _ = s
+                r = bj - struct_matvec(A, x)
+                x = x + dinv * r
+                r2 = bj - struct_matvec(A, x)
+                return x, it + 1, jnp.sqrt(jnp.vdot(r2, r2))
+
+            x0 = jnp.zeros_like(bj)
+            x, it, rn = jax.lax.while_loop(
+                cond, body, (x0, jnp.int32(0), safe_b * 2))
+            return x, it, rn / safe_b
+
+        x, it, rel = jacobi_solve(bj, args.tol, args.max_iter)
     else:
         from hypre_tpu.solvers.krylov import pcg
 

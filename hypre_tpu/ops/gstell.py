@@ -19,10 +19,7 @@ PMIS coarsening and the Galerkin product):
   ids, assigned SEQUENTIALLY over (cluster, rank) pairs — eight slots
   per group, and every (chunk, group, sublane) carries its OWN
   128-aligned window base (SMEM).  Sequential assignment (instead of
-  one octet per cluster) keeps padding near the true row width:
-  interpolation operators with ~2 average entries pack into a single
-  group instead of one octet per offset cluster (which cost 6-12x
-  padding and blew HBM at 256^3).
+  one octet per cluster) keeps padding near the true row width.
 * Per group the kernel builds the gather table one window-row per
   sublane (eight sublane slices), then gathers 1024 operands per
   lane-shuffle:
@@ -30,16 +27,34 @@ PMIS coarsening and the Galerkin product):
                  g_w = dynamic_gather(tbl, loc & 127)
                  acc = where(loc >> 7 == w, g_w, acc)
   followed by an FMA and a cross-sublane reduction into 128 row sums.
-  DIA is the degenerate case (spread 0); the same kernel serves every
-  AMG level, interpolation, and restriction operator.
+
+Two execution modes:
+
+* RESIDENT — the whole (padded) x fits in VMEM; the kernel reads
+  window rows straight out of the x block.
+* WINDOWED — x stays in HBM; at pack time the slot bases of each grid
+  step are gap-clustered into at most ``B`` BANDS, each band is one
+  small contiguous x window, and the kernel double-buffers the band
+  DMAs across grid steps (issue step t+1's copies before computing
+  step t).  For a 7-pt operator the three bands (z-, middle, z+) copy
+  ~20 KB per 1024 rows instead of the ~500 KB a single contiguous
+  window would need.
+
+All window reads are provably in-bounds BY CONSTRUCTION: bases are
+never clamped; instead x2d is padded with ``x_rows_pad - x_rows``
+zero rows so that every ``base + w`` (resident) or ``band*Eb +
+(base - w0_band) + w`` (windowed) read stays inside the buffer.  The
+packer asserts the invariants and falls back (returns None) rather
+than ship a kernel that could fault the TPU worker.
 
 This plays the role of hypre's device SpMV row-group tuning
 (ref: src/seq_mv/csr_spmv_device.c:300-381) — the shape-driven knobs
-here are (clusters, slot groups G, window width c).
+here are (clusters, slot groups G, window width c, bands B).
 """
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -51,33 +66,50 @@ CHUNK = 128       # rows per chunk (one lane dim)
 CH_STEP = 8       # chunks per pallas grid step
 MAX_C = 48        # max window width (x128); above -> no GST-ELL
 MAX_G = 24        # max slot groups; above -> no GST-ELL
+MAX_B = 8         # max DMA bands per step (windowed mode)
+BAND_GAP = 64     # x2d-row gap that splits bands within a step
+MAX_WIN_ROWS = 4096   # B * Eb cap: 2 buffers * 4096 * 128 * 4B = 4 MB VMEM
 VMEM_X_LIMIT = 6 * 1024 * 1024
+
+_DEBUG = bool(int(os.environ.get("HYPRE_TPU_GSTELL_DEBUG", "0")))
+
+
+def _check(ok: bool, msg: str) -> bool:
+    """Invariant check: raise under debug, signal fallback otherwise."""
+    if not ok and _DEBUG:
+        raise AssertionError(f"gstell packer invariant violated: {msg}")
+    return ok
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["base", "w0", "locs", "vals"],
-         meta_fields=["n_rows", "n_cols", "c", "g", "x_rows", "resident",
-                      "ext", "nnz"])
+         data_fields=["base", "brel", "w0b", "locs", "vals"],
+         meta_fields=["n_rows", "n_cols", "c", "g", "b", "eb", "x_rows",
+                      "x_rows_pad", "resident", "nnz"])
 @dataclasses.dataclass(frozen=True)
 class GstEllMatrix:
-    """base: int32[n_steps, CH_STEP, G, 8]  per (chunk, group, sublane)
-             window base row of x2d (SMEM block)
-    w0:   int32[n_steps]  per-step x window start (windowed mode)
+    """base: int32[n_steps, CH_STEP, G, 8]  absolute window base row of
+             x2d per (chunk, group, sublane) (resident kernel + CPU ref)
+    brel: int32[same]  windowed mode: band*Eb + (base - w0_band) —
+             direct row index into the concatenated band window scratch
+    w0b:  int32[n_steps, B]  per (step, band) x2d window start row
     locs: int32[n_steps, CH_STEP, 8*G, 128] local offsets in [0,128c)
     vals: real [same]     0 in padding slots
     """
 
     base: jax.Array
-    w0: jax.Array
+    brel: jax.Array            # None in resident mode
+    w0b: jax.Array             # None in resident mode
     locs: jax.Array
     vals: jax.Array
     n_rows: int
     n_cols: int
     c: int
     g: int
+    b: int                     # number of DMA bands (windowed mode)
+    eb: int                    # rows per band window (windowed mode)
     x_rows: int
+    x_rows_pad: int
     resident: bool
-    ext: int
     nnz: int
 
     @property
@@ -162,7 +194,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     group = slot // 8
     sub = slot % 8
 
-    # --- per (chunk, slot) window base ------------------------------
+    # --- per (chunk, slot) window base (NEVER clamped) ---------------
     cs = chunk * (8 * G) + slot
     cs_order = np.argsort(cs, kind="stable")
     cs_s = cs[cs_order]
@@ -177,7 +209,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     used[uniq_cs] = True
 
     base = cmin // 128
-    spread = cmax - base * 128
+    spread = np.where(used, cmax - base * 128, 0)
     c = int(np.ceil((spread.max(initial=0) + 1) / 128.0))
     c = max(c, 1)
     # small operators can afford wide windows (selects are cheap there,
@@ -185,10 +217,9 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     max_c = MAX_C if A.nnz > 1_000_000 else 4 * MAX_C
     if c > max_c:
         return None
-    base = np.minimum(base, max(x_rows - c, 0))
 
-    # unused slots must not widen the per-step window: fill them with a
-    # used base from the same chunk (fallback: nearest used chunk)
+    # unused slots must not widen the per-step windows: fill them with
+    # a used base from the same chunk (fallback: nearest used chunk)
     used2 = used.reshape(n_chunks_pad, 8 * G)
     base2 = base.reshape(n_chunks_pad, 8 * G)
     chunk_any = used2.any(axis=1)
@@ -207,10 +238,10 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     base = base2.reshape(-1)
 
     loc_all = col - base[cs] * 128
-    if loc_all.max(initial=0) >= 128 * c:
-        c = int(np.ceil((loc_all.max() + 1) / 128.0))
-        if c > max_c:
-            return None
+    if not _check(loc_all.min(initial=0) >= 0
+                  and loc_all.max(initial=0) < 128 * c,
+                  "locs out of [0, 128c)"):
+        return None
 
     # --- pack arrays -------------------------------------------------
     # refuse pathological padding before allocating (a non-banded
@@ -223,27 +254,69 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     locs[chunk, group * 8 + sub, lane] = loc_all.astype(np.int32)
     vals[chunk, group * 8 + sub, lane] = dat
 
-    base_steps = base.reshape(n_steps, CH_STEP, G, 8)
-    flat = base_steps.reshape(n_steps, -1)
-    w0 = flat.min(axis=1)
-    ext = int((flat.max(axis=1) - w0).max(initial=0)) + c
-    ext = min(ext, x_rows)
-    w0 = np.minimum(w0, max(x_rows - ext, 0))
+    base_steps = base.reshape(n_steps, CH_STEP * 8 * G)
+    resident = (x_rows + c) * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
 
-    resident = x_rows * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
-    if not resident:
-        # The v2 windowed-DMA kernel faults the TPU worker at 128^3+
-        # (untested per-sublane window interaction; round-2 item).
-        # Refuse here so callers take the correct transposed-ELL path.
-        return None
+    brel_arr = w0b_arr = None
+    B = eb = 0
+    if resident:
+        x_rows_pad = int(base_steps.max(initial=0)) + c
+        x_rows_pad = max(x_rows_pad, x_rows)
+    else:
+        # ---- band the per-step bases into <= MAX_B DMA windows ------
+        sb = np.sort(base_steps, axis=1)              # (n_steps, S)
+        gaps = np.diff(sb, axis=1)
+        # split where the gap is large AND among the MAX_B-1 largest
+        # of its step (guarantees B <= MAX_B)
+        if gaps.shape[1] > MAX_B - 1:
+            kth = np.partition(gaps, gaps.shape[1] - (MAX_B - 1),
+                               axis=1)[:, gaps.shape[1] - (MAX_B - 1)]
+            is_split = (gaps > BAND_GAP) & (gaps >= kth[:, None])
+            # ties at kth could still exceed MAX_B-1 splits; enforce
+            counts = is_split.cumsum(axis=1)
+            is_split &= counts <= (MAX_B - 1)
+        else:
+            is_split = gaps > BAND_GAP
+        band_sorted = np.concatenate(
+            [np.zeros((n_steps, 1), np.int64),
+             is_split.cumsum(axis=1)], axis=1)        # band of sorted pos
+        B = int(band_sorted.max(initial=0)) + 1
+        # per (step, band) window start = first base of the band
+        w0b = np.full((n_steps, B), np.iinfo(np.int64).max)
+        st = np.repeat(np.arange(n_steps), sb.shape[1])
+        np.minimum.at(w0b, (st, band_sorted.reshape(-1)), sb.reshape(-1))
+        # band of each (step, slot): count band starts <= base.  Empty
+        # trailing bands still hold the +inf sentinel here, so they are
+        # never counted and the ascending-order assumption holds.
+        band = (base_steps[:, :, None] >= w0b[:, None, :]).sum(axis=2) - 1
+        band = np.maximum(band, 0)
+        # empty bands (steps with fewer bands than B): reuse band 0's
+        # start so their (wasted but harmless) DMA stays in-bounds
+        w0b = np.where(w0b == np.iinfo(np.int64).max, w0b[:, :1], w0b)
+        rel = base_steps - np.take_along_axis(w0b, band, axis=1)
+        eb = int(rel.max(initial=0)) + c
+        if B * eb > MAX_WIN_ROWS:
+            return None
+        if not _check((rel >= 0).all(), "negative band-relative base"):
+            return None
+        if not _check((rel + c <= eb).all(), "band window overrun"):
+            return None
+        brel = band * eb + rel
+        x_rows_pad = max(int(w0b.max(initial=0)) + eb, x_rows)
+        brel_arr = jnp.asarray(
+            brel.reshape(n_steps, CH_STEP, G, 8).astype(np.int32))
+        w0b_arr = jnp.asarray(w0b.astype(np.int32))
+
+    base_out = base_steps.reshape(n_steps, CH_STEP, G, 8)
 
     return GstEllMatrix(
-        base=jnp.asarray(base_steps.astype(np.int32)),
-        w0=jnp.asarray(w0.astype(np.int32)),
+        base=jnp.asarray(base_out.astype(np.int32)),
+        brel=brel_arr, w0b=w0b_arr,
         locs=jnp.asarray(locs.reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
         vals=jnp.asarray(vals.reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
         n_rows=int(n_rows), n_cols=int(n_cols), c=int(c), g=G,
-        x_rows=int(x_rows), resident=bool(resident), ext=int(ext),
+        b=int(B), eb=int(eb), x_rows=int(x_rows),
+        x_rows_pad=int(x_rows_pad), resident=bool(resident),
         nnz=int(A.nnz),
     )
 
@@ -272,6 +345,13 @@ def _chunk_body(base_get, locs_row, vals_row, row_at, c, G, dtype):
     return jnp.sum(total, axis=0)
 
 
+def _pad_x2d(A: GstEllMatrix, x: jax.Array) -> jax.Array:
+    dtype = A.vals.dtype
+    npad = A.x_rows_pad * 128
+    return jnp.pad(x.astype(dtype), (0, npad - A.n_cols)).reshape(
+        A.x_rows_pad, 128)
+
+
 def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -279,9 +359,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     n_steps = A.locs.shape[0]
     G, c = A.g, A.c
     dtype = A.vals.dtype
-    npad = A.x_rows * 128
-    x2d = jnp.pad(x.astype(dtype), (0, npad - A.n_cols)).reshape(
-        A.x_rows, 128)
+    x2d = _pad_x2d(A, x)
 
     if A.resident:
         def kernel(base_ref, locs_ref, vals_ref, x_ref, y_ref):
@@ -304,7 +382,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                 pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((A.x_rows, 128), lambda t: (0, 0),
+                pl.BlockSpec((A.x_rows_pad, 128), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, CH_STEP, CHUNK),
@@ -312,17 +390,40 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                                    memory_space=pltpu.VMEM),
         )(A.base, A.locs, A.vals, x2d)
     else:
-        ext = A.ext
+        B, Eb = A.b, A.eb
+        WIN = B * Eb
 
-        def kernel_w(base_ref, w0_ref, locs_ref, vals_ref, x_hbm, y_ref,
-                     win, sem):
-            w0 = w0_ref[0, 0, 0]
-            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(w0, ext), :], win, sem)
-            cp.start()
-            cp.wait()
+        def kernel_w(w0b_ref, brel_ref, locs_ref, vals_ref, x_hbm, y_ref,
+                     win, sems):
+            t = pl.program_id(0)
+            slot = jax.lax.rem(t, 2)
+            nslot = jax.lax.rem(t + 1, 2)
+
+            def band_copy(u, sl, bd):
+                # w0b is passed flat: a 2-D SMEM array gets lane-padded
+                # to (n_steps, 128) and blows the 1 MB SMEM budget
+                return pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(w0b_ref[u * B + bd], Eb), :],
+                    win.at[pl.ds(sl * WIN + bd * Eb, Eb), :],
+                    sems.at[sl * B + bd])
+
+            @pl.when(t == 0)
+            def _():
+                for bd in range(B):
+                    band_copy(t, slot, bd).start()
+
+            @pl.when(t + 1 < n_steps)
+            def _():
+                for bd in range(B):
+                    band_copy(t + 1, nslot, bd).start()
+
+            for bd in range(B):
+                band_copy(t, slot, bd).wait()
+
+            off = slot * WIN
             for ch in range(CH_STEP):
                 y_ref[0, ch, :] = _chunk_body(
-                    lambda g, s: base_ref[0, ch, g, s] - w0,
+                    lambda g, s: brel_ref[0, ch, g, s] + off,
                     locs_ref[0, ch], vals_ref[0, ch],
                     lambda b: win[pl.ds(b, 1), :], c, G, dtype)
 
@@ -331,26 +432,25 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
             out_shape=jax.ShapeDtypeStruct((n_steps, CH_STEP, CHUNK), dtype),
             grid=(n_steps,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # w0b, whole
                 pl.BlockSpec((1, CH_STEP, G, 8), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),       # x2d in HBM
             ],
             out_specs=pl.BlockSpec((1, CH_STEP, CHUNK),
                                    lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((ext, 128), dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2 * WIN, 128), dtype),
+                pltpu.SemaphoreType.DMA((2 * B,)),
             ],
-        )(A.base, A.w0.reshape(-1, 1, 1), A.locs, A.vals, x2d)
+        )(A.w0b.reshape(-1), A.brel, A.locs, A.vals, x2d)
 
     return y.reshape(-1)[:A.n_rows]
 
@@ -358,7 +458,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     """Pure-jnp semantics of the kernel (CPU tests / fallback)."""
     dtype = A.vals.dtype
-    npad = A.x_rows * 128
+    npad = A.x_rows_pad * 128
     xp = jnp.pad(x.astype(dtype), (0, npad - A.n_cols))
     n_steps, CH, S, L = A.locs.shape
     base = A.base.reshape(n_steps, CH, S, 1)
@@ -366,3 +466,28 @@ def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     gat = jnp.take(xp, flat.reshape(-1), axis=0).reshape(flat.shape)
     y = jnp.sum(A.vals * gat, axis=2)  # sum over slots
     return y.reshape(-1)[:A.n_rows]
+
+
+def gstell_matvec_reference_windowed(A: GstEllMatrix,
+                                     x: jax.Array) -> jax.Array:
+    """Pure-jnp emulation of the WINDOWED kernel's addressing (brel +
+    band windows), for validating the band construction on CPU."""
+    assert not A.resident
+    dtype = A.vals.dtype
+    npad = A.x_rows_pad * 128
+    xp = jnp.pad(x.astype(dtype), (0, npad - A.n_cols)).reshape(-1, 128)
+    n_steps, CH, S, L = A.locs.shape
+    B, Eb = A.b, A.eb
+    ys = []
+    for t in range(n_steps):
+        # build this step's concatenated band window
+        win = jnp.concatenate(
+            [jax.lax.dynamic_slice(
+                xp, (A.w0b[t, bd].astype(jnp.int32), jnp.int32(0)),
+                (Eb, 128))
+             for bd in range(B)], axis=0).reshape(-1)
+        brel = A.brel[t].reshape(CH, S, 1)
+        flat = brel.astype(jnp.int32) * 128 + A.locs[t]
+        gat = jnp.take(win, flat.reshape(-1)).reshape(flat.shape)
+        ys.append(jnp.sum(A.vals[t] * gat, axis=1))
+    return jnp.stack(ys).reshape(-1)[:A.n_rows]

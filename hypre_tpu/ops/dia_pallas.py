@@ -12,9 +12,21 @@ register-level shifts:
   no gathers, no HBM round trips, so the vals stream dominates traffic
   and the kernel runs at streaming speed.
 
-Only the VMEM-resident mode is enabled: the windowed-DMA variant
-faults the TPU worker (under investigation); large stencil operators
-are routed to GST-ELL instead, whose windowed path is proven.
+Two modes:
+
+* RESIDENT — the padded x fits in VMEM; reads come straight from the
+  x block.
+* WINDOWED — x stays in HBM.  Diagonal offsets are clustered into
+  BANDS (e.g. the z-, mid-, z+ planes of a 7-pt operator); each band
+  is one small contiguous x window whose start is AFFINE in the grid
+  step (t*R + dlo_band), so the double-buffered DMAs need no index
+  tables at all.  All reads are in-bounds by construction: x is
+  front-padded by lo_r rows (so every dr >= 0) and tail-padded past
+  the last tile's furthest read.
+
+This is the TPU re-design of the structured BoxLoop matvec
+(ref: src/struct_mv/boxloop_cuda.h; CSR stencil case
+src/seq_mv/csr_spmv_device.c:381).
 """
 from __future__ import annotations
 
@@ -24,6 +36,8 @@ import numpy as np
 
 TILE_ROWS = 1024          # output rows per grid step
 VMEM_X_LIMIT = 6 * 1024 * 1024
+BAND_GAP = 64             # x2d-row gap that splits diagonal bands
+MAX_WIN_ROWS = 4096       # cap on total band-window rows per buffer
 
 
 def _shifted_read(read8, dr, dl, dtype):
@@ -42,6 +56,32 @@ def _shifted_read(read8, dr, dl, dtype):
     return jnp.where(lane < 128 - dl, ar, br)
 
 
+def _band_plan(drs, rows_per_tile):
+    """Cluster per-diagonal window rows ``drs`` (sorted unique not
+    required) into contiguous bands.  Returns (band_of_diag, dlo list,
+    Eb list, cumulative offsets, WIN) or None if over the cap."""
+    order = np.argsort(drs)
+    sor = np.asarray(drs)[order]
+    split = np.diff(sor) > BAND_GAP
+    band_sorted = np.concatenate([[0], np.cumsum(split)])
+    n_bands = int(band_sorted[-1]) + 1
+    dlo, dhi = [], []
+    for b in range(n_bands):
+        sel = sor[band_sorted == b]
+        dlo.append(int(sel.min()))
+        dhi.append(int(sel.max()))
+    # +1 row because dl != 0 reads dr and dr+1; +rows_per_tile for the
+    # tile itself
+    ebs = [hi - lo + rows_per_tile + 1 for lo, hi in zip(dlo, dhi)]
+    win = int(np.sum(ebs))
+    if win > MAX_WIN_ROWS:
+        return None
+    cum = np.concatenate([[0], np.cumsum(ebs)[:-1]]).astype(int)
+    band_of = np.empty(len(drs), dtype=int)
+    band_of[order] = band_sorted
+    return band_of, dlo, ebs, cum, win
+
+
 def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
     """y = A @ x for DIA with static offsets.
 
@@ -55,39 +95,32 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
     min_off = min(min(offsets), 0)
     max_off = max(max(offsets), 0)
     lo_r = -(min_off // 128) if min_off < 0 else 0   # ceil(-min/128)
-    hi_r = max_off // 128 + 2
-    W = TILE_ROWS // 128 + lo_r + hi_r
 
     n_tiles = -(-n_rows // TILE_ROWS)
     rows_pad = n_tiles * TILE_ROWS
-    xpad_len = lo_r * 128 + max(rows_pad + max_off + 256, n_cols) + 128
-    xpad_len = -(-xpad_len // 128) * 128
-    x_rows_total = xpad_len // 128
+    rows_per_tile = TILE_ROWS // 128  # x2d rows per tile
 
-    xpad_len = max(xpad_len, W * 128)   # window must fit even for tiny x
-    x_rows_total = xpad_len // 128
+    # per-diagonal (dr, dl) relative to the window origin (row -lo_r*128)
+    shifts = [((d + lo_r * 128) // 128, (d + lo_r * 128) % 128)
+              for d in offsets]
+    max_dr = max(dr for dr, _ in shifts)
+
+    # padded x: front pad lo_r rows so every dr >= 0; tail pad past the
+    # furthest read of the LAST tile (dr+1 rows from its base)
+    need_rows = (n_tiles - 1) * rows_per_tile + rows_per_tile + max_dr + 2
+    x_rows_total = max(need_rows, -(-(lo_r * 128 + n_cols) // 128))
+    xpad_len = x_rows_total * 128
     xp = jnp.zeros((xpad_len,), dtype=dtype)
     xp = xp.at[lo_r * 128: lo_r * 128 + n_cols].set(x.astype(dtype))
     x2d = xp.reshape(x_rows_total, 128)
 
     vals_pad = jnp.zeros((n_diags, rows_pad), dtype=dtype)
     vals_pad = vals_pad.at[:, :n_rows].set(vals)
-    vals_t = vals_pad.reshape(n_diags, n_tiles, TILE_ROWS // 128,
+    vals_t = vals_pad.reshape(n_diags, n_tiles, rows_per_tile,
                               128).transpose(1, 0, 2, 3)
 
-    # per-diagonal (dr, dl) relative to the window origin (row -lo_r*128)
-    shifts = [((d + lo_r * 128) // 128, (d + lo_r * 128) % 128)
-              for d in offsets]
-
     resident = xpad_len * dtype.itemsize <= VMEM_X_LIMIT
-    if not resident:
-        # see module docstring - fall back to the jnp formulation
-        from hypre_tpu.ops.formats import DiaMatrix, dia_matvec
-
-        Dm = DiaMatrix(vals=vals, offsets=tuple(offsets), n_cols=n_cols)
-        return dia_matvec(Dm, x)
     nblk = TILE_ROWS // 1024       # (8,128) vreg blocks per tile
-    rows_per_tile = TILE_ROWS // 128  # x2d rows per tile
 
     if resident:
         def kernel(vals_ref, x_ref, y_ref):
@@ -106,67 +139,97 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
         y = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, TILE_ROWS // 128, 128), dtype),
+                (n_tiles, rows_per_tile, 128), dtype),
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec((1, n_diags, TILE_ROWS // 128, 128),
+                pl.BlockSpec((1, n_diags, rows_per_tile, 128),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((x_rows_total, 128), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, TILE_ROWS // 128, 128),
+            out_specs=pl.BlockSpec((1, rows_per_tile, 128),
                                    lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
         )(vals_t, x2d)
-    else:
-        # clamped per-tile window starts precomputed on host (SMEM)
-        starts_np = np.minimum(np.arange(n_tiles) * rows_per_tile,
-                               x_rows_total - W)
-        deltas_np = np.arange(n_tiles) * rows_per_tile - starts_np
-        starts = jnp.asarray(starts_np.astype(np.int32)).reshape(-1, 1, 1)
-        deltas = jnp.asarray(deltas_np.astype(np.int32)).reshape(-1, 1, 1)
+        return y.reshape(-1)[:n_rows]
 
-        def kernel_w(start_ref, delta_ref, vals_ref, x_hbm, y_ref, win,
-                     sem):
-            start = start_ref[0, 0, 0]
-            delta = delta_ref[0, 0, 0]
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, W), :], win, sem)
-            cp.start()
-            cp.wait()
-            for j in range(nblk):
-                def read8(k, _j=j):
-                    return win[pl.ds(delta + _j * 8 + k, 8), :]
-                acc = jnp.zeros((8, 128), dtype=dtype)
-                for kd, (dr, dl) in enumerate(shifts):
-                    s = _shifted_read(read8, dr, dl, dtype)
-                    v = vals_ref[0, kd, pl.ds(j * 8, 8), :]
-                    acc = acc + v * s
-                y_ref[0, pl.ds(j * 8, 8), :] = acc
+    # ---- windowed: banded double-buffered DMA ------------------------
+    plan = _band_plan([dr for dr, _ in shifts], rows_per_tile)
+    if plan is None:
+        from hypre_tpu.ops.formats import DiaMatrix, dia_matvec
 
-        y = pl.pallas_call(
-            kernel_w,
-            out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, TILE_ROWS // 128, 128), dtype),
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n_diags, TILE_ROWS // 128, 128),
-                             lambda t: (t, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((1, TILE_ROWS // 128, 128),
-                                   lambda t: (t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((W, 128), dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-        )(starts, deltas, vals_t, x2d)
+        Dm = DiaMatrix(vals=vals, offsets=tuple(offsets), n_cols=n_cols)
+        return dia_matvec(Dm, x)
+    band_of, dlo, ebs, cum, WIN = plan
+    n_bands = len(dlo)
+    # window-relative dr of each diagonal
+    drel = [dr - dlo[band_of[k]] + cum[band_of[k]]
+            for k, (dr, _) in enumerate(shifts)]
 
+    def kernel_w(vals_ref, x_hbm, y_ref, win, sems):
+        t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+
+        def band_copy(u, sl, bd):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(u * rows_per_tile + dlo[bd], ebs[bd]), :],
+                win.at[pl.ds(sl * WIN + cum[bd], ebs[bd]), :],
+                sems.at[sl * n_bands + bd])
+
+        @pl.when(t == 0)
+        def _():
+            for bd in range(n_bands):
+                band_copy(t, slot, bd).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for bd in range(n_bands):
+                band_copy(t + 1, nslot, bd).start()
+
+        for bd in range(n_bands):
+            band_copy(t, slot, bd).wait()
+
+        off = slot * WIN
+        for j in range(nblk):
+            acc = jnp.zeros((8, 128), dtype=dtype)
+            for kd, (dr, dl) in enumerate(shifts):
+                def read8(k, _j=j, _kd=kd):
+                    return win[pl.ds(off + drel[_kd] + _j * 8 + k, 8), :]
+                # read8 is already positioned at this diagonal's band
+                # window, so the shifted read uses relative dr 0
+                s = _shifted_read(read8, 0, dl, dtype)
+                v = vals_ref[0, kd, pl.ds(j * 8, 8), :]
+                acc = acc + v * s
+            y_ref[0, pl.ds(j * 8, 8), :] = acc
+
+    y = pl.pallas_call(
+        kernel_w,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, rows_per_tile, 128), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, n_diags, rows_per_tile, 128),
+                         lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, rows_per_tile, 128),
+                               lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * WIN, 128), dtype),
+            pltpu.SemaphoreType.DMA((2 * n_bands,)),
+        ],
+    )(vals_t, x2d)
     return y.reshape(-1)[:n_rows]
+
+
+def dia_windowed_viable(offsets) -> bool:
+    """True when the banded window plan fits the VMEM cap (used by the
+    format dispatcher to prefer DIA for large stencils)."""
+    min_off = min(min(offsets), 0)
+    lo_r = -(min_off // 128) if min_off < 0 else 0
+    shifts = [(d + lo_r * 128) // 128 for d in offsets]
+    return _band_plan(shifts, TILE_ROWS // 128) is not None

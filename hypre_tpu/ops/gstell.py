@@ -142,29 +142,51 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     real_dtype = np.dtype(real_dtype or get_config().np_real)
     n_rows, n_cols = A.shape
     x_rows = max(-(-n_cols // 128), 1)
-    coo = A.tocoo()
-    row = coo.row.astype(np.int64)
-    col = coo.col.astype(np.int64)
-    dat = coo.data
+    nnz = A.nnz
+    indptr = A.indptr.astype(np.int64)
+    col = A.indices.astype(np.int64)
+    dat = A.data
+    row_nnz = np.diff(indptr)
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
 
-    # --- offset clustering ------------------------------------------
-    d = col - (row * n_cols) // max(n_rows, 1)
-    ud = np.unique(d)
+    # --- offset clustering (O(nnz), no global sorts) ------------------
+    if n_rows == n_cols:
+        d = col - row
+    else:
+        shift_of_row = (np.arange(n_rows, dtype=np.int64) * n_cols
+                        ) // max(n_rows, 1)
+        d = col - shift_of_row[row]
+    dmin = int(d.min())
+    span = int(d.max()) - dmin + 1
+    if span <= 1 << 27:
+        # bincount-style unique: O(nnz + span), no sort
+        present = np.zeros(span, dtype=bool)
+        present[d - dmin] = True
+        ud = np.flatnonzero(present).astype(np.int64) + dmin
+    else:
+        ud = np.unique(d)
     cl_of_ud = np.concatenate([[0], np.cumsum(np.diff(ud) > gap)])
     n_clusters = int(cl_of_ud[-1]) + 1
     if n_clusters > 8 * MAX_G:
         return None
-    ecl = cl_of_ud[np.searchsorted(ud, d)]
+    if span <= 1 << 27:
+        lut = np.zeros(span, dtype=np.int32)
+        lut[ud - dmin] = cl_of_ud
+        ecl = lut[d - dmin]
+    else:
+        ecl = cl_of_ud[np.searchsorted(ud, d)].astype(np.int32)
 
-    # --- rank within (row, cluster) ---------------------------------
-    key = row * n_clusters + ecl
-    order = np.argsort(key, kind="stable")
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order))
-    ks = key[order]
-    uk, first = np.unique(ks, return_index=True)
-    rank_sorted = np.arange(len(ks)) - first[np.searchsorted(uk, ks)]
-    rank = rank_sorted[inv]
+    # --- rank within (row, cluster) via run detection ----------------
+    # CSR column indices are sorted per row and the row shift is
+    # constant within a row, so same-cluster entries form contiguous
+    # ascending runs.  rank = position inside the run.
+    newrun = np.empty(nnz, dtype=bool)
+    newrun[0] = True
+    newrun[1:] = ecl[1:] != ecl[:-1]
+    newrun[indptr[:-1][row_nnz > 0]] = True     # row starts
+    run_start = np.flatnonzero(newrun)
+    run_id = np.cumsum(newrun) - 1
+    rank = np.arange(nnz, dtype=np.int64) - run_start[run_id]
 
     # PER-CHUNK slot assignment: each (chunk, cluster) gets exactly the
     # slot range its own rows need — slots have per-chunk meaning (the
@@ -176,12 +198,12 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     n_steps = -(-n_chunks // CH_STEP)
     n_chunks_pad = n_steps * CH_STEP
 
-    cc = chunk * n_clusters + ecl
-    cc_order = np.argsort(cc, kind="stable")
-    ucc, ccstarts = np.unique(cc[cc_order], return_index=True)
-    m_cc = np.zeros(n_chunks_pad * n_clusters, dtype=np.int64)
-    m_cc[ucc] = np.maximum.reduceat((rank + 1)[cc_order], ccstarts)
-    m_2d = m_cc.reshape(n_chunks_pad, n_clusters)
+    # max run length per (chunk, cluster) — reduce over runs, not nnz
+    run_len = np.diff(np.append(run_start, nnz))
+    run_chunk = chunk[run_start]
+    run_ecl = ecl[run_start]
+    m_2d = np.zeros((n_chunks_pad, n_clusters), dtype=np.int64)
+    np.maximum.at(m_2d, (run_chunk, run_ecl), run_len)
     slot_start_2d = np.concatenate(
         [np.zeros((n_chunks_pad, 1), np.int64),
          np.cumsum(m_2d, axis=1)[:, :-1]], axis=1)
@@ -190,23 +212,24 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     if G == 0 or G > MAX_G:
         return None
 
-    slot = slot_start_2d[chunk, ecl] + rank   # per-chunk slot id
-    group = slot // 8
-    sub = slot % 8
+    # refuse pathological padding before allocating (a non-banded
+    # matrix can pass the G gate yet need many empty slots)
+    projected_slots = n_chunks_pad * 8 * G * CHUNK
+    if projected_slots > max(16 * nnz, 1 << 20):
+        return None
 
-    # --- per (chunk, slot) window base (NEVER clamped) ---------------
-    cs = chunk * (8 * G) + slot
-    cs_order = np.argsort(cs, kind="stable")
-    cs_s = cs[cs_order]
-    col_s = col[cs_order]
-    uniq_cs, starts = np.unique(cs_s, return_index=True)
-    n_slots_tot = n_chunks_pad * 8 * G
-    cmin = np.zeros(n_slots_tot, dtype=np.int64)
-    cmax = np.zeros(n_slots_tot, dtype=np.int64)
-    cmin[uniq_cs] = np.minimum.reduceat(col_s, starts)
-    cmax[uniq_cs] = np.maximum.reduceat(col_s, starts)
-    used = np.zeros(n_slots_tot, dtype=bool)
-    used[uniq_cs] = True
+    slot = slot_start_2d[chunk, ecl] + rank   # per-chunk slot id
+
+    # --- scatter cols once; per (chunk, slot) ranges by reduction ----
+    col_arr = np.full((n_chunks_pad, 8 * G, CHUNK), np.int64(-1))
+    col_arr[chunk, slot, lane] = col
+    used2 = (col_arr >= 0).any(axis=2)
+    big = np.int64(1) << 62
+    cmin2 = np.where(col_arr >= 0, col_arr, big).min(axis=2)
+    cmax2 = col_arr.max(axis=2)
+    cmin = np.where(used2, cmin2, 0).reshape(-1)
+    cmax = np.where(used2, cmax2, 0).reshape(-1)
+    used = used2.reshape(-1)
 
     base = cmin // 128
     spread = np.where(used, cmax - base * 128, 0)
@@ -214,7 +237,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     c = max(c, 1)
     # small operators can afford wide windows (selects are cheap there,
     # while the XLA-gather fallback is catastrophically slow)
-    max_c = MAX_C if A.nnz > 1_000_000 else 4 * MAX_C
+    max_c = MAX_C if nnz > 1_000_000 else 4 * MAX_C
     if c > max_c:
         return None
 
@@ -237,22 +260,17 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     base2 = np.where(used2, base2, chunk_fill[:, None])
     base = base2.reshape(-1)
 
-    loc_all = col - base[cs] * 128
-    if not _check(loc_all.min(initial=0) >= 0
-                  and loc_all.max(initial=0) < 128 * c,
+    # --- pack arrays -------------------------------------------------
+    present = col_arr >= 0
+    loc_arr = np.where(present, col_arr - base2[:, :, None] * 128, 0)
+    if not _check(loc_arr.min(initial=0) >= 0
+                  and loc_arr.max(initial=0) < 128 * c,
                   "locs out of [0, 128c)"):
         return None
-
-    # --- pack arrays -------------------------------------------------
-    # refuse pathological padding before allocating (a non-banded
-    # matrix can pass the G/c gates yet need many empty slots)
-    projected_slots = n_chunks_pad * 8 * G * CHUNK
-    if projected_slots > max(16 * A.nnz, 1 << 20):
-        return None
-    locs = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=np.int32)
+    locs = loc_arr.astype(np.int32)
+    del col_arr, loc_arr
     vals = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=real_dtype)
-    locs[chunk, group * 8 + sub, lane] = loc_all.astype(np.int32)
-    vals[chunk, group * 8 + sub, lane] = dat
+    vals[chunk, slot, lane] = dat
 
     base_steps = base.reshape(n_steps, CH_STEP * 8 * G)
     resident = (x_rows + c) * 128 * real_dtype.itemsize <= VMEM_X_LIMIT

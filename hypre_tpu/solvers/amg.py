@@ -53,6 +53,12 @@ class AmgConfig:
     num_paths: int = 1
     restr_type: int = 0               # 0: R=P^T; 1: distance-1 lAIR
     seed: int = 2747
+    # exact Gauss-Seidel threshold: levels up to this many rows store
+    # dense triangular factors so relax 3/4/6/13/14 runs as a TRUE
+    # (l1-)GS sweep (matching hypre's CPU golden iteration counts);
+    # larger levels fall back to the two-stage GPU-style approximation
+    # (ref: par_relax.c hypre_BoomerAMGRelaxHybridGaussSeidel)
+    exact_gs_max: int = 8192
     # Chebyshev smoothing (relax_type 16; ref: par_cheby.c:65-170)
     cheby_order: int = 2
     cheby_fraction: float = 0.3
@@ -63,7 +69,7 @@ class AmgConfig:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
-                      "L", "U", "c_mask"],
+                      "L", "U", "c_mask", "gs_lo", "gs_up"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
@@ -76,6 +82,8 @@ class AmgLevel:
     L: Optional[SparseOp] = None   # strict lower part (two-stage GS)
     U: Optional[SparseOp] = None   # strict upper part (backward sweep)
     c_mask: Optional[jax.Array] = None  # 1.0 at C points (CF relax order)
+    gs_lo: Optional[jax.Array] = None  # dense D+L (exact GS, small lvls)
+    gs_up: Optional[jax.Array] = None  # dense D+U
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -192,7 +200,21 @@ class BoomerAMG:
                 ds = jnp.asarray(ds_np.astype(real))
                 bounds = jnp.asarray(b_np.astype(real))
             Uop = None
-            if cfg.relax_type in (11, 12, 13, 14, 8):
+            gs_lo = gs_up = None
+            if cfg.relax_type in (3, 4, 6, 13, 14) \
+                    and Ah.shape[0] <= cfg.exact_gs_max:
+                # exact GS: dense triangular factors with the l1
+                # diagonal (single-shard semantics of hypre's hybrid
+                # (l1-)GS, ref: par_relax.c:24 types 3/4/6/13/14)
+                dl1 = l1_norms(Ah, self._l1_option()).astype(real)
+                dense_a = Ah.toarray().astype(real)
+                lo = np.tril(dense_a, -1)
+                up = np.triu(dense_a, 1)
+                np.fill_diagonal(lo, dl1)
+                np.fill_diagonal(up, dl1)
+                gs_lo = jnp.asarray(lo)
+                gs_up = jnp.asarray(up)
+            elif cfg.relax_type in (11, 12, 13, 14, 8):
                 Lh = sp.tril(Ah, k=-1).tocsr()
                 Uh = sp.triu(Ah, k=1).tocsr()
                 Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
@@ -205,7 +227,7 @@ class BoomerAMG:
                 R=sparse_op_from_scipy(Rh, prefer_dia=False),
                 dinv=jnp.asarray(dinv.astype(real)),
                 cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
-                c_mask=cmask,
+                c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
             ))
         # coarsest level
         dev_levels.append(AmgLevel(
@@ -283,6 +305,24 @@ def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
         return _cheby_relax(lvl, f, u, cheby_order, num_sweeps)
 
     A, dinv = lvl.A, lvl.dinv
+    if relax_type in (3, 4, 6, 13, 14) and lvl.gs_lo is not None:
+        # exact (l1-)GS via dense triangular solves — matches hypre's
+        # CPU golden iteration counts on small levels
+        def gs_sweep(u, back):
+            T = lvl.gs_up if back else lvl.gs_lo
+            r = f if u is None else f - matvec(A, u)
+            z = jax.scipy.linalg.solve_triangular(T, r, lower=not back)
+            return z if u is None else u + z
+
+        for _ in range(num_sweeps):
+            if relax_type == 6:          # symmetric GS
+                u = gs_sweep(u, False)
+                u = gs_sweep(u, True)
+            elif relax_type in (13, 3):  # forward down / backward up
+                u = gs_sweep(u, up)
+            else:                        # 14, 4: backward down / fwd up
+                u = gs_sweep(u, not up)
+        return u
     two_stage = relax_type in (11, 12, 13, 14, 8) and lvl.L is not None
     # forward sweep going down, backward going up keeps the cycle a
     # symmetric preconditioner (the hypre 13-down / 14-up pairing)

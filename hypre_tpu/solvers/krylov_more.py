@@ -1,14 +1,17 @@
-"""GMRES, FlexGMRES, BiCGSTAB, CGNR — pure-JAX Krylov iterations.
+"""GMRES, FlexGMRES, LGMRES, COGMRES, BiCGSTAB, CGNR — pure-JAX Krylov.
 
 Analog of hypre's template solvers (ref: src/krylov/gmres.c:274,
-flexgmres.c, bicgstab.c, cgnr.c).  Each compiles — preconditioner
-cycles included — into a single XLA program via lax control flow.
+flexgmres.c, lgmres.c, cogmres.c, bicgstab.c, cgnr.c).  Each compiles —
+preconditioner cycles included — into a single XLA program via lax
+control flow (no host round trips between restarts).
 
-GMRES follows the reference's restarted modified-Gram-Schmidt
-formulation with Givens rotations; default restart dimension k_dim = 5
-matches the ij driver (ref: src/test/ij.c:1731).  Convergence is the
-relative residual ||r||/||b|| <= tol estimated from the rotated
-Hessenberg rhs, with the true residual recomputed at restarts.
+GMRES follows the reference's right-preconditioned restarted
+modified-Gram-Schmidt formulation with Givens rotations; default
+restart dimension k_dim = 5 matches the ij driver (ref:
+src/test/ij.c:1731).  Iterations are counted per Arnoldi step with
+early exit on the Hessenberg residual estimate, exactly as the
+reference's inner `while (i < k_dim …) { iter++; … }` loop
+(gmres.c:534-576).
 """
 from __future__ import annotations
 
@@ -43,13 +46,14 @@ def _ops(A, M):
 
 
 def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
-          k_dim: int = 5) -> KrylovResult:
-    """Right-preconditioned restarted GMRES(k_dim).
+          k_dim: int = 5, _aug=None) -> KrylovResult:
+    """Right-preconditioned restarted GMRES(k_dim), hypre semantics
+    (ref: src/krylov/gmres.c:274).  Because the preconditioned basis Z
+    is stored explicitly, the same loop is the FGMRES recurrence — M
+    may vary between iterations (ref: flexgmres.c).
 
-    hypre's GMRES applies the preconditioner on the left of the basis
-    construction (z = M w, then A z); right preconditioning keeps the
-    residual norm of the original system in the Hessenberg recurrence,
-    matching the printed convergence histories.
+    _aug: optional (k, n) array of augmentation directions appended to
+    the approximation space after the Arnoldi steps (LGMRES support).
     """
     Aop, Mop = _ops(A, M)
     b = jnp.asarray(b)
@@ -75,7 +79,7 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
                                   0.0))
 
         def body(j, carry):
-            V, Z, H, cs, sn, g, done = carry
+            V, Z, H, cs, sn, g, done, cnt = carry
             z = Mop(V[j])
             w = Aop(z)
             # modified Gram-Schmidt
@@ -106,18 +110,21 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
             c_j, s_j = hcol[j] / denom, hcol[j + 1] / denom
             hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
             g_j1 = -s_j * g[j]
-            g = g.at[j + 1].set(g_j1).at[j].set(c_j * g[j])
+            g_new = g.at[j + 1].set(g_j1).at[j].set(c_j * g[j])
 
             V = V.at[j + 1].set(jnp.where(done, V[j + 1], vnext))
             Z = Z.at[j].set(jnp.where(done, Z[j], z))
             H = H.at[:, j].set(jnp.where(done, H[:, j], hcol))
             cs = cs.at[j].set(jnp.where(done, cs[j], c_j))
             sn = sn.at[j].set(jnp.where(done, sn[j], s_j))
+            g = jnp.where(done, g, g_new)
+            cnt = cnt + jnp.where(done, 0, 1)
             new_done = done | (jnp.abs(g_j1) / safe_b <= tol)
-            return V, Z, H, cs, sn, g, new_done
+            return V, Z, H, cs, sn, g, new_done, cnt
 
-        V, Z, H, cs, sn, g, done = jax.lax.fori_loop(
-            0, m, body, (V, Z, H, cs, sn, g, beta / safe_b <= tol))
+        V, Z, H, cs, sn, g, done, cnt = jax.lax.fori_loop(
+            0, m, body,
+            (V, Z, H, cs, sn, g, beta / safe_b <= tol, jnp.int32(0)))
 
         # back-substitute y from H[:m,:m] (upper triangular) and g
         def back(i_rev, y):
@@ -128,7 +135,20 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
         x_new = x + Z.T @ y
-        return x_new
+        if _aug is not None:
+            # minimize over the augmentation directions one at a time
+            # (they are A-orthogonalized implicitly by the line search)
+            r = b - Aop(x_new)
+            for k in range(_aug.shape[0]):
+                zk = _aug[k]
+                Az = Aop(zk)
+                den = jnp.maximum(jnp.vdot(Az, Az), 1e-300)
+                alpha = jnp.vdot(Az, r)
+                norm_z = jnp.linalg.norm(zk)
+                alpha = jnp.where(norm_z > 0, alpha / den, 0.0)
+                x_new = x_new + alpha * zk
+                r = r - alpha * Az
+        return x_new, cnt
 
     def cond(st):
         x, it, rel = st
@@ -136,10 +156,10 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
 
     def body(st):
         x, it, _ = st
-        x = arnoldi_cycle(x)
+        x, cnt = arnoldi_cycle(x)
         r = b - Aop(x)
         rel = jnp.linalg.norm(r) / safe_b
-        return x, it + m, rel
+        return x, it + cnt, rel
 
     r0 = b - Aop(x)
     st = (x, jnp.int32(0), jnp.linalg.norm(r0) / safe_b)
@@ -150,10 +170,11 @@ def gmres(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
 def flexgmres(A, b, x0=None, M=None, tol: float = 1e-8,
               max_iter: int = 1000, k_dim: int = 5) -> KrylovResult:
     """Flexible GMRES (ref: src/krylov/flexgmres.c): the preconditioner
-    may change between iterations.  Our gmres() is right-preconditioned
-    and stores the preconditioned basis Z explicitly, which is exactly
-    the FGMRES recurrence, so this is the same loop exposed under the
-    reference's solver name (with a fixed M they are identical)."""
+    may change between iterations.  gmres() is right-preconditioned and
+    stores the preconditioned basis Z explicitly, which is exactly the
+    FGMRES recurrence, so this is the same loop exposed under the
+    reference's solver name.  M here may be a stateful callable (tested
+    with an iteration-varying preconditioner in tests/test_krylov.py)."""
     return gmres(A, b, x0=x0, M=M, tol=tol, max_iter=max_iter,
                  k_dim=k_dim)
 
@@ -162,44 +183,52 @@ def lgmres(A, b, x0=None, M=None, tol: float = 1e-8,
            max_iter: int = 1000, k_dim: int = 10,
            aug_dim: int = 2) -> KrylovResult:
     """LGMRES (ref: src/krylov/lgmres.c): GMRES(k) augmented with the
-    last aug_dim error approximations.  Implemented by carrying the
-    previous restart's update direction into the Krylov block — the
-    standard LGMRES(k, aug) construction specialized to a fixed M."""
+    last aug_dim error approximations z_i = x_{r} - x_{r-1}.  The whole
+    restart loop is one XLA program (lax.while_loop); the augmentation
+    queue AUG is a fixed (aug_dim, n) buffer rolled each restart.
+    """
     Aop, Mop = _ops(A, M)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    n = b.shape[0]
+    dtype = b.dtype
+    aug_dim = max(int(aug_dim), 1)
+
     bnorm = jnp.linalg.norm(b)
     safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
 
-    prev_x = x
-    rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
-    it = 0
-    while it < max_iter and rel > tol:
+    def one_restart(x, AUG):
         res = gmres(Aop, b, x0=x, M=Mop, tol=tol, max_iter=k_dim,
-                    k_dim=k_dim)
-        # augmentation: one minimization step along the previous
-        # restart's update direction z = x_new - x_prev
-        z = res.x - prev_x
-        r = b - Aop(res.x)
-        Az = Aop(z)
-        denom = jnp.vdot(Az, Az)
-        alpha = jnp.where(denom > 0, jnp.vdot(Az, r) / denom, 0.0)
-        prev_x = x
-        x = res.x + alpha * z
-        it += int(res.iters) + 1
-        rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
-    return KrylovResult(x=x, iters=jnp.int32(it), relres=jnp.asarray(rel))
+                    k_dim=k_dim, _aug=AUG)
+        z = res.x - x                     # new error approximation
+        AUG = jnp.roll(AUG, 1, axis=0).at[0].set(z)
+        return res.x, AUG, res.iters
+
+    def cond(st):
+        x, AUG, it, rel = st
+        return (it < max_iter) & (rel > tol)
+
+    def body(st):
+        x, AUG, it, _ = st
+        x, AUG, used = one_restart(x, AUG)
+        rel = jnp.linalg.norm(b - Aop(x)) / safe_b
+        return x, AUG, it + used, rel
+
+    r0 = b - Aop(x)
+    st = (x, jnp.zeros((aug_dim, n), dtype), jnp.int32(0),
+          jnp.linalg.norm(r0) / safe_b)
+    x, AUG, it, rel = jax.lax.while_loop(cond, body, st)
+    return KrylovResult(x=x, iters=it, relres=rel)
 
 
 def cogmres(A, b, x0=None, M=None, tol: float = 1e-8,
             max_iter: int = 1000, k_dim: int = 5) -> KrylovResult:
     """COGMRES (ref: src/krylov/cogmres.c) — communication-reducing
-    GMRES using classical Gram-Schmidt so each Arnoldi step needs one
-    fused block reduction instead of j sequential dots.  On TPU the
-    fused form is V[:j+1] @ w — a single matmul (one psum when
-    distributed), which is the entire point of the CO variant."""
-    from hypre_tpu.ops.formats import SparseOp, matvec as _mv
-
+    GMRES using classical Gram-Schmidt (CGS2) so each Arnoldi step
+    needs one fused block reduction instead of j sequential dots.  On
+    TPU the fused form is V[:j+1] @ w — a single matmul (one psum when
+    distributed).  The restart loop is a lax.while_loop: no host
+    dispatch between restarts."""
     Aop, Mop = _ops(A, M)
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -240,14 +269,20 @@ def cogmres(A, b, x0=None, M=None, tol: float = 1e-8,
         y, *_ = jnp.linalg.lstsq(H, e1)
         return x + Z.T @ y
 
-    r0 = b - Aop(x)
-    rel = float(jnp.linalg.norm(r0) / safe_b)
-    it = 0
-    while it < max_iter and rel > tol:
+    def cond(st):
+        x, it, rel = st
+        return (it < max_iter) & (rel > tol)
+
+    def body(st):
+        x, it, _ = st
         x = cycle(x)
-        it += m
-        rel = float(jnp.linalg.norm(b - Aop(x)) / safe_b)
-    return KrylovResult(x=x, iters=jnp.int32(it), relres=jnp.asarray(rel))
+        rel = jnp.linalg.norm(b - Aop(x)) / safe_b
+        return x, it + m, rel
+
+    r0 = b - Aop(x)
+    st = (x, jnp.int32(0), jnp.linalg.norm(r0) / safe_b)
+    x, it, rel = jax.lax.while_loop(cond, body, st)
+    return KrylovResult(x=x, iters=it, relres=rel)
 
 
 def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8,
@@ -292,23 +327,26 @@ def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8,
 
 
 def cgnr(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
-         At=None) -> KrylovResult:
-    """CG on the normal equations AᵀA x = Aᵀb (ref: src/krylov/cgnr.c).
+         At=None, Mt=None) -> KrylovResult:
+    """CGNR, hypre semantics (ref: src/krylov/cgnr.c:206-434): CG on
+    the preconditioned normal equations (AC)ᵀ(AC) y = (AC)ᵀ b with
+    x = C y — the preconditioner C sits INSIDE the normal equations
+    (cgnr.c:361 "q = A*C*p"; transpose application cgnr.c:380).
 
-    At: operator for Aᵀ; for symmetric problems defaults to A.
+    At / Mt: operators for Aᵀ and Cᵀ; default to A / C (symmetric).
     """
     Aop, Mop = _ops(A, M)
     Atop = Aop if At is None else _ops(At, None)[0]
+    Mtop = Mop if Mt is None else _ops(A, Mt)[1]
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
     bnorm = jnp.linalg.norm(b)
     safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
     r = b - Aop(x)
-    q = Atop(r)
-    z = Mop(q)
-    p = z
-    gamma = jnp.vdot(q, z)
+    s = Mtop(Atop(r))              # s = CᵀAᵀ r
+    p = s
+    gamma = jnp.vdot(s, s)
 
     def cond(st):
         x, r, p, gamma, it, rel = st
@@ -316,15 +354,15 @@ def cgnr(A, b, x0=None, M=None, tol: float = 1e-8, max_iter: int = 1000,
 
     def body(st):
         x, r, p, gamma, it, _ = st
-        w = Aop(p)
+        t = Mop(p)                 # t = C p
+        w = Aop(t)                 # w = A C p
         alpha = gamma / jnp.maximum(jnp.vdot(w, w), 1e-300)
-        x = x + alpha * p
+        x = x + alpha * t
         r = r - alpha * w
-        q = Atop(r)
-        z = Mop(q)
-        gamma_new = jnp.vdot(q, z)
-        beta = gamma_new / gamma
-        p = z + beta * p
+        s = Mtop(Atop(r))
+        gamma_new = jnp.vdot(s, s)
+        beta = gamma_new / jnp.maximum(gamma, 1e-300)
+        p = s + beta * p
         rel = jnp.linalg.norm(r) / safe_b
         return x, r, p, gamma_new, it + 1, rel
 

@@ -92,3 +92,78 @@ def test_hybrid_stays_dscg_for_easy_problem():
     res = hybrid_solve(A, b, HybridConfig(tol=1e-8))
     assert res.pcg_iters == 0
     assert res.relres < 1e-8
+
+
+def test_gmres_matches_hypre_golden():
+    # BoomerAMG-GMRES golden: 7 iterations (TEST_ij/solvers.saved:9-11)
+    from hypre_tpu.solvers.krylov_more import gmres
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG
+    from hypre_tpu.ops import sparse_op_from_scipy
+
+    A = laplacian(10, 10, 10)
+    cfg = AmgConfig(coarsen_type="hmis", interp_type=6, relax_type=13)
+    amg = BoomerAMG(cfg).setup(A)
+    b = np.random.RandomState(42).rand(A.shape[0])
+    r = gmres(A=sparse_op_from_scipy(A), b=b, M=amg.precondition,
+              tol=1e-8, max_iter=100)
+    assert abs(int(r.iters) - 7) <= 2, \
+        f"AMG-GMRES took {int(r.iters)}; hypre golden is 7"
+
+
+def test_cgnr_matches_hypre_golden():
+    # BoomerAMG-CGNR (-w 0.67 -ns 2) golden: 9 iterations
+    # (TEST_ij/solvers.saved:17-19); preconditioner INSIDE the normal
+    # equations per cgnr.c:361.
+    from hypre_tpu.solvers.krylov_more import cgnr
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG
+    from hypre_tpu.ops import sparse_op_from_scipy
+
+    A = laplacian(10, 10, 10)
+    cfg = AmgConfig(coarsen_type="hmis", interp_type=6, relax_type=13,
+                    relax_weight=0.67, num_sweeps=2)
+    amg = BoomerAMG(cfg).setup(A)
+    b = np.random.RandomState(42).rand(A.shape[0])
+    r = cgnr(A=sparse_op_from_scipy(A), b=b, M=amg.precondition,
+             tol=1e-8, max_iter=100)
+    assert abs(int(r.iters) - 9) <= 2, \
+        f"AMG-CGNR took {int(r.iters)}; hypre golden is 9"
+
+
+def test_lgmres_augmentation_helps():
+    # aug_dim > 0 must beat plain restarted GMRES at equal k_dim on a
+    # problem where restarts stall (ref: lgmres.c purpose)
+    from hypre_tpu.solvers.krylov_more import gmres, lgmres
+    from hypre_tpu.ops import sparse_op_from_scipy
+
+    A = laplacian(24, 24)
+    op = sparse_op_from_scipy(A)
+    b = np.random.RandomState(3).rand(A.shape[0])
+    rg = gmres(A=op, b=b, tol=1e-8, max_iter=2000, k_dim=10)
+    rl = lgmres(A=op, b=b, tol=1e-8, max_iter=2000, k_dim=10, aug_dim=2)
+    assert float(rl.relres) <= 1e-8
+    assert int(rl.iters) < int(rg.iters), \
+        f"LGMRES {int(rl.iters)} !< GMRES {int(rg.iters)}"
+
+
+def test_flexgmres_varying_preconditioner():
+    # FGMRES must converge with an iteration-VARYING preconditioner
+    # (the defining FlexGMRES property, ref: flexgmres.c)
+    import jax.numpy as jnp
+    from hypre_tpu.solvers.krylov_more import flexgmres
+    from hypre_tpu.ops import sparse_op_from_scipy, matvec
+
+    A = laplacian(16, 16)
+    op = sparse_op_from_scipy(A)
+    dinv = jnp.asarray(1.0 / A.diagonal())
+
+    def varying_M(r):
+        # damping depends on the INPUT at runtime, so M is a genuinely
+        # different operator on every Arnoldi step (traced data-dep)
+        w = 1.0 + 0.4 * jnp.tanh(jnp.sum(r) * 1e3)
+        return w * (dinv * r)
+
+    b = np.random.RandomState(5).rand(A.shape[0])
+    res = flexgmres(A=op, b=b, M=varying_M, tol=1e-8, max_iter=600,
+                    k_dim=10)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7

@@ -1,4 +1,11 @@
-"""Build + load the native setup kernels (ctypes, compiled on demand)."""
+"""Build + load the native setup kernels (ctypes, compiled on demand).
+
+The native layer implements the setup-phase graph algorithms (strength,
+coarsening, interpolation, truncation, SpGEMM) with OpenMP — the part
+of the framework that is host-side by design (SURVEY §7) and does not
+map to XLA.  Every function has a vectorized-numpy twin in
+hypre_tpu/setup/; tests assert the two agree.
+"""
 from __future__ import annotations
 
 import ctypes
@@ -6,8 +13,15 @@ import os
 import subprocess
 import threading
 
+import numpy as np
+
 _lock = threading.Lock()
 _lib = None
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
 def load():
@@ -21,25 +35,57 @@ def load():
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             subprocess.check_call([
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-std=c++17", src, "-o", so,
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                "-fPIC", "-std=c++17", src, "-o", so,
             ])
         lib = ctypes.CDLL(so)
         lib.rs_first_pass.argtypes = [
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.rs_first_pass.restype = None
+            ctypes.c_int64, _i64p, _i32p, _i64p, _i32p, _i32p]
+        lib.strength_mask.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32, _u8p]
+        lib.pmis.argtypes = [ctypes.c_int64, _i64p, _i32p, _f64p, _i32p]
+        lib.direct_interp.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p, _u8p,
+            _i32p, _i32p, _i64p, _i32p, _f64p]
+        lib.extpi_interp.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p, _u8p,
+            _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
+        lib.truncate_interp.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p,
+            ctypes.c_double, ctypes.c_int64, _i64p, _i32p, _f64p]
+        lib.spgemm.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _i64p, _i32p, _f64p, _i64p, _i32p, _f64p,
+            _i64p, _i32p, _f64p]
+        lib.stencil_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, _i32p, _i32p, _i32p, _f64p,
+            _i64p, _i32p, _f64p]
+        lib.csr_transpose.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _f64p,
+            _i64p, _i32p, _f64p]
+        for fn in ("rs_first_pass", "strength_mask", "pmis",
+                   "direct_interp", "extpi_interp", "truncate_interp",
+                   "spgemm", "csr_transpose", "stencil_csr"):
+            getattr(lib, fn).restype = None
         _lib = lib
         return lib
 
 
+def _p(a, t):
+    return a.ctypes.data_as(t)
+
+
+def _csr_arrays(A):
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    return indptr, indices, data
+
+
 def rs_first_pass(S, ST):
     """Run the native Ruge-Stüben first pass on scipy CSR S and S^T."""
-    import numpy as np
-
     lib = load()
     n = S.shape[0]
     s_indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
@@ -47,12 +93,164 @@ def rs_first_pass(S, ST):
     st_indptr = np.ascontiguousarray(ST.indptr, dtype=np.int64)
     st_indices = np.ascontiguousarray(ST.indices, dtype=np.int32)
     cf = np.zeros(n, dtype=np.int32)
-
-    def ptr(a, t):
-        return a.ctypes.data_as(ctypes.POINTER(t))
-
     lib.rs_first_pass(
-        n, ptr(s_indptr, ctypes.c_int64), ptr(s_indices, ctypes.c_int32),
-        ptr(st_indptr, ctypes.c_int64), ptr(st_indices, ctypes.c_int32),
-        ptr(cf, ctypes.c_int32))
+        n, _p(s_indptr, _i64p), _p(s_indices, _i32p),
+        _p(st_indptr, _i64p), _p(st_indices, _i32p), _p(cf, _i32p))
     return cf
+
+
+def strength_mask(A, theta: float, max_row_sum: float,
+                  abs_soc: bool = False) -> np.ndarray:
+    """Per-entry strong-connection mask over (sorted) CSR A."""
+    lib = load()
+    indptr, indices, data = _csr_arrays(A)
+    strong = np.zeros(len(indices), dtype=np.uint8)
+    lib.strength_mask(A.shape[0], _p(indptr, _i64p), _p(indices, _i32p),
+                      _p(data, _f64p), float(theta), float(max_row_sum),
+                      int(abs_soc), _p(strong, _u8p))
+    return strong.view(bool)
+
+
+def pmis(S, measure: np.ndarray) -> np.ndarray:
+    lib = load()
+    n = S.shape[0]
+    indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    meas = np.ascontiguousarray(measure, dtype=np.float64).copy()
+    cf = np.zeros(n, dtype=np.int32)
+    lib.pmis(n, _p(indptr, _i64p), _p(indices, _i32p),
+             _p(meas, _f64p), _p(cf, _i32p))
+    return cf
+
+
+def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=()):
+    import scipy.sparse as sp
+
+    lib = load()
+    fn = getattr(lib, fn_name)
+    n = A.shape[0]
+    indptr, indices, data = _csr_arrays(A)
+    strong_u8 = np.ascontiguousarray(strong, dtype=np.uint8)
+    cf32 = np.ascontiguousarray(cf, dtype=np.int32)
+    cmap32 = np.ascontiguousarray(cmap, dtype=np.int32)
+    p_indptr = np.zeros(n + 1, dtype=np.int64)
+    null32 = _i32p()
+    null64 = _f64p()
+    args0 = [n, 0, _p(indptr, _i64p), _p(indices, _i32p),
+             _p(data, _f64p), _p(strong_u8, _u8p), _p(cf32, _i32p),
+             _p(cmap32, _i32p), *extra, _p(p_indptr, _i64p),
+             null32, null64]
+    fn(*args0)
+    nnz = int(p_indptr[n])
+    p_indices = np.zeros(nnz, dtype=np.int32)
+    p_data = np.zeros(nnz, dtype=np.float64)
+    args1 = [n, 1, _p(indptr, _i64p), _p(indices, _i32p),
+             _p(data, _f64p), _p(strong_u8, _u8p), _p(cf32, _i32p),
+             _p(cmap32, _i32p), *extra, _p(p_indptr, _i64p),
+             _p(p_indices, _i32p), _p(p_data, _f64p)]
+    fn(*args1)
+    n_coarse = int((np.asarray(cf) == 1).sum())
+    return sp.csr_matrix((p_data, p_indices, p_indptr),
+                         shape=(n, n_coarse))
+
+
+def direct_interp(A, strong, cf, cmap):
+    return _interp_two_pass("direct_interp", A, strong, cf, cmap)
+
+
+def extpi_interp(A, strong, cf, cmap):
+    diag = np.ascontiguousarray(A.diagonal(), dtype=np.float64)
+    return _interp_two_pass("extpi_interp", A, strong, cf, cmap,
+                            extra=(_p(diag, _f64p),))
+
+
+def truncate_interp(P, trunc_factor: float, max_elmts: int):
+    import scipy.sparse as sp
+
+    lib = load()
+    n = P.shape[0]
+    indptr, indices, data = _csr_arrays(P)
+    t_indptr = np.zeros(n + 1, dtype=np.int64)
+    lib.truncate_interp(n, 0, _p(indptr, _i64p), _p(indices, _i32p),
+                        _p(data, _f64p), float(trunc_factor),
+                        int(max_elmts), _p(t_indptr, _i64p),
+                        _i32p(), _f64p())
+    nnz = int(t_indptr[n])
+    if nnz == len(indices):
+        return P
+    t_indices = np.zeros(nnz, dtype=np.int32)
+    t_data = np.zeros(nnz, dtype=np.float64)
+    lib.truncate_interp(n, 1, _p(indptr, _i64p), _p(indices, _i32p),
+                        _p(data, _f64p), float(trunc_factor),
+                        int(max_elmts), _p(t_indptr, _i64p),
+                        _p(t_indices, _i32p), _p(t_data, _f64p))
+    return sp.csr_matrix((t_data, t_indices, t_indptr), shape=P.shape)
+
+
+def spgemm(A, B):
+    """C = A @ B (row-parallel, deterministic per-row accumulation)."""
+    import scipy.sparse as sp
+
+    lib = load()
+    n, k = A.shape
+    k2, m = B.shape
+    assert k == k2
+    a_indptr, a_indices, a_data = _csr_arrays(A)
+    b_indptr, b_indices, b_data = _csr_arrays(B)
+    c_indptr = np.zeros(n + 1, dtype=np.int64)
+    lib.spgemm(n, m, 0, _p(a_indptr, _i64p), _p(a_indices, _i32p),
+               _p(a_data, _f64p), _p(b_indptr, _i64p),
+               _p(b_indices, _i32p), _p(b_data, _f64p),
+               _p(c_indptr, _i64p), _i32p(), _f64p())
+    nnz = int(c_indptr[n])
+    c_indices = np.zeros(nnz, dtype=np.int32)
+    c_data = np.zeros(nnz, dtype=np.float64)
+    lib.spgemm(n, m, 1, _p(a_indptr, _i64p), _p(a_indices, _i32p),
+               _p(a_data, _f64p), _p(b_indptr, _i64p),
+               _p(b_indices, _i32p), _p(b_data, _f64p),
+               _p(c_indptr, _i64p), _p(c_indices, _i32p),
+               _p(c_data, _f64p))
+    return sp.csr_matrix((c_data, c_indices, c_indptr), shape=(n, m))
+
+
+def csr_transpose(A):
+    import scipy.sparse as sp
+
+    lib = load()
+    n, m = A.shape
+    indptr, indices, data = _csr_arrays(A)
+    t_indptr = np.zeros(m + 1, dtype=np.int64)
+    t_indices = np.zeros(len(indices), dtype=np.int32)
+    t_data = np.zeros(len(indices), dtype=np.float64)
+    lib.csr_transpose(n, m, _p(indptr, _i64p), _p(indices, _i32p),
+                      _p(data, _f64p), _p(t_indptr, _i64p),
+                      _p(t_indices, _i32p), _p(t_data, _f64p))
+    return sp.csr_matrix((t_data, t_indices, t_indptr), shape=(m, n))
+
+
+def stencil_csr(shape, entries, dtype):
+    """CSR stencil-matrix generator (see stencil_matrix in gen/)."""
+    import scipy.sparse as sp
+
+    lib = load()
+    nx, ny, nz = (int(s) for s in shape)
+    n = nx * ny * nz
+    ents = sorted(((d, v) for d, v in entries if v != 0.0),
+                  key=lambda e: e[0][0] + nx * (e[0][1] + ny * e[0][2]))
+    dx = np.ascontiguousarray([e[0][0] for e in ents], dtype=np.int32)
+    dy = np.ascontiguousarray([e[0][1] for e in ents], dtype=np.int32)
+    dz = np.ascontiguousarray([e[0][2] for e in ents], dtype=np.int32)
+    vv = np.ascontiguousarray([e[1] for e in ents], dtype=np.float64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    lib.stencil_csr(nx, ny, nz, len(ents), 0, _p(dx, _i32p), _p(dy, _i32p),
+                    _p(dz, _i32p), _p(vv, _f64p), _p(indptr, _i64p),
+                    _i32p(), _f64p())
+    nnz = int(indptr[n])
+    indices = np.empty(nnz, dtype=np.int32)
+    data = np.empty(nnz, dtype=np.float64)
+    lib.stencil_csr(nx, ny, nz, len(ents), 1, _p(dx, _i32p), _p(dy, _i32p),
+                    _p(dz, _i32p), _p(vv, _f64p), _p(indptr, _i64p),
+                    _p(indices, _i32p), _p(data, _f64p))
+    A = sp.csr_matrix((data.astype(dtype, copy=False), indices, indptr),
+                      shape=(n, n))
+    return A

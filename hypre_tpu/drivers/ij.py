@@ -25,7 +25,7 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(prog="ij", add_help=True)
-    p.add_argument("-n", nargs=3, type=int, default=[33, 33, 33],
+    p.add_argument("-n", nargs=3, type=int, default=[10, 10, 10],
                    metavar=("nx", "ny", "nz"))
     p.add_argument("-P", nargs=3, type=int, default=[1, 1, 1],
                    help="process grid (informational; sharding is mesh-wide)")
@@ -39,12 +39,18 @@ def build_parser():
     p.add_argument("-difconv", action="store_true")
     p.add_argument("-atype", type=int, default=0)
     p.add_argument("-solver", type=int, default=1)
-    p.add_argument("-rlx", type=int, default=18)
+    # defaults mirror hypre's BoomerAMG (ref: par_amg.c:178-270):
+    # HMIS coarsening (10), ext+i interp (6), hybrid GS 13 down / 14 up
+    p.add_argument("-rlx", type=int, default=13)
     p.add_argument("-w", type=float, default=1.0, dest="relax_weight")
     p.add_argument("-ns", type=int, default=1, dest="num_sweeps")
     p.add_argument("-interptype", type=int, default=6)
-    p.add_argument("-pmis", action="store_true", default=True)
+    p.add_argument("-pmis", action="store_true")
     p.add_argument("-hmis", action="store_true")
+    p.add_argument("-cljp", action="store_true")
+    p.add_argument("-falgout", action="store_true")
+    p.add_argument("-CF", type=int, default=0, dest="relax_order")
+    p.add_argument("-aug", type=int, default=2, dest="aug_dim")
     p.add_argument("-th", type=float, default=0.25, dest="theta")
     p.add_argument("-mxrs", type=float, default=0.9, dest="max_row_sum")
     p.add_argument("-Pmx", type=int, default=4, dest="p_max_elmts")
@@ -131,19 +137,32 @@ def main(argv=None):
         b = (rng.rand(n) if args.rhsrand else np.ones(n)).astype(np_real)
     x0 = (rng.rand(n).astype(np_real) if args.x0rand else None)
 
+    # coarsening selection mirrors hypre's flag set; HMIS (type 10) is
+    # the hypre default (ref: par_amg.c:178)
+    coarsen = "hmis"
+    if args.pmis:
+        coarsen = "pmis"
+    if args.cljp:
+        coarsen = "cljp"
+    if args.falgout:
+        coarsen = "falgout"
+    if args.hmis:
+        coarsen = "hmis"
     amg_cfg = AmgConfig(
         max_levels=args.max_levels, max_coarse_size=args.max_coarse_size,
         strong_threshold=args.theta, max_row_sum=args.max_row_sum,
+        coarsen_type=coarsen,
         interp_type=args.interptype, trunc_factor=args.trunc_factor,
         p_max_elmts=args.p_max_elmts, relax_type=args.rlx,
         relax_weight=args.relax_weight, num_sweeps=args.num_sweeps,
+        relax_order=args.relax_order,
         agg_num_levels=args.agg_num_levels,
         agg_interp_type=args.agg_interp_type, num_paths=args.num_paths,
         seed=args.seed,
     )
 
     solver_id = args.solver
-    need_amg = solver_id in (0, 1, 3, 5, 9)
+    need_amg = solver_id in (0, 1, 3, 5, 9, 16, 51, 61, 20)
     amg = None
     timers.begin("Setup")
     op = sparse_op_from_scipy(A)

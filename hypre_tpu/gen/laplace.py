@@ -28,31 +28,54 @@ import scipy.sparse as sp
 def stencil_matrix(shape, entries, dtype=np.float64) -> sp.csr_matrix:
     """Build a matrix from stencil `entries` = [((dx,dy,dz), value), ...]
     on a grid of `shape` = (nx, ny, nz), x-fastest ordering, Dirichlet
-    truncation at the boundary."""
+    truncation at the boundary.
+
+    Constructs CSR directly (no COO sort): stencil offsets are sorted
+    by linear displacement, so concatenating each row's valid offsets
+    in that order yields sorted column indices by construction."""
     nx, ny, nz = shape
     n = nx * ny * nz
-    ix, iy, iz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                             indexing="ij")
-    # linear index with x fastest: i = ix + nx*(iy + ny*iz)
-    lin = (ix + nx * (iy + ny * iz)).ravel()
-    rows, cols, vals = [], [], []
-    for (dx, dy, dz), v in entries:
-        if v == 0.0:
-            continue
-        jx, jy, jz = ix + dx, iy + dy, iz + dz
-        ok = ((jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
-              & (jz >= 0) & (jz < nz)).ravel()
-        tgt = (np.clip(jx, 0, nx - 1)
-               + nx * (np.clip(jy, 0, ny - 1)
-                       + ny * np.clip(jz, 0, nz - 1))).ravel()
-        rows.append(lin[ok])
-        cols.append(tgt[ok])
-        vals.append(np.full(ok.sum(), v, dtype=dtype))
-    A = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(n, n), dtype=dtype,
-    ).tocsr()
-    A.sort_indices()
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        return native.stencil_csr(shape, entries, dtype)
+
+    ents = sorted(((d, v) for d, v in entries if v != 0.0),
+                  key=lambda e: e[0][0] + nx * (e[0][1] + ny * e[0][2]))
+    K = len(ents)
+    # valid[k] as a separable product of 1D masks; built at 3D grid
+    # shape (nz, ny, nx) C-order = x-fastest linear order
+    valid = np.empty((K, nz, ny, nx), dtype=bool)
+    disp = np.empty(K, dtype=np.int64)
+    val_k = np.empty(K, dtype=dtype)
+    ax = np.arange(nx)
+    ay = np.arange(ny)
+    az = np.arange(nz)
+    for k, ((dx, dy, dz), v) in enumerate(ents):
+        mx = (ax + dx >= 0) & (ax + dx < nx)
+        my = (ay + dy >= 0) & (ay + dy < ny)
+        mz = (az + dz >= 0) & (az + dz < nz)
+        valid[k] = mz[:, None, None] & my[None, :, None] & mx[None, None, :]
+        disp[k] = dx + nx * (dy + ny * dz)
+        val_k[k] = v
+    vflat = valid.reshape(K, n)
+    counts = vflat.sum(axis=0, dtype=np.int64)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    # position of entry (k, i): indptr[i] + (#valid offsets < k at i)
+    rank = np.cumsum(vflat, axis=0, dtype=np.int64) - 1
+    pos = (indptr[:-1][None, :] + rank)[vflat]
+    nnz = int(indptr[-1])
+    indices = np.empty(nnz, dtype=np.int32)
+    data = np.empty(nnz, dtype=dtype)
+    lin = np.arange(n, dtype=np.int64)
+    src_cols = (lin[None, :] + disp[:, None])[vflat]
+    src_vals = np.broadcast_to(val_k[:, None], (K, n))[vflat]
+    indices[pos] = src_cols
+    data[pos] = src_vals
+    A = sp.csr_matrix((data, indices, indptr), shape=(n, n), dtype=dtype)
     return A
 
 

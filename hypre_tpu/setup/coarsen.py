@@ -41,6 +41,17 @@ def pmis(S: sp.csr_matrix, seed: int = 2747,
         global_ids = np.arange(n, dtype=np.int64)
 
     S = S.tocsr()
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        # ST degree = column counts of S; no transpose materialized
+        measure = np.bincount(S.indices, minlength=n).astype(np.float64)
+        measure += pmis_hash(global_ids, seed)
+        return native.pmis(S, measure)
+
     ST = S.T.tocsr()
 
     measure = np.asarray(ST.indptr[1:] - ST.indptr[:-1], dtype=np.float64)

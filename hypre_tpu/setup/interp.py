@@ -36,10 +36,24 @@ def direct_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     """Build P (n_fine x n_coarse) by direct interpolation."""
     A = A.tocsr()
     n = A.shape[0]
-    diag = A.diagonal()
     is_c = cf == C_PT
     cmap = np.cumsum(is_c) - 1  # coarse index of each C point
     n_coarse = int(is_c.sum())
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        strong = strong_mask if strong_mask is not None \
+            else _entries_in_pattern(A, S)
+        P = native.direct_interp(A, strong, cf,
+                                 cmap.astype(np.int32))
+        if trunc_factor > 0.0 or max_elmts > 0:
+            P = native.truncate_interp(P, trunc_factor, max_elmts)
+        return P
+
+    diag = A.diagonal()
 
     rows = expand_rows(A.indptr)
     offd = A.indices != rows
@@ -105,6 +119,14 @@ def truncate_interp(P: sp.csr_matrix, trunc_factor: float,
                     max_elmts: int) -> sp.csr_matrix:
     """Drop small entries / cap per-row count, preserving row sums."""
     P = P.tocsr()
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        return native.truncate_interp(P, trunc_factor, max_elmts)
+
     n = P.shape[0]
     rows = expand_rows(P.indptr)
     absdata = np.abs(P.data)

@@ -36,11 +36,24 @@ def extpi_interp(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     A = A.tocsr()
     A.sort_indices()
     n = A.shape[0]
-    diag = A.diagonal()
     is_c = cf == C_PT
     is_f = cf == F_PT
     cmap = np.cumsum(is_c) - 1
     n_coarse = int(is_c.sum())
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        strong = strong_mask if strong_mask is not None \
+            else _entries_in_pattern(A, S)
+        P = native.extpi_interp(A, strong, cf, cmap.astype(np.int32))
+        if trunc_factor > 0.0 or max_elmts > 0:
+            P = native.truncate_interp(P, trunc_factor, max_elmts)
+        return P
+
+    diag = A.diagonal()
 
     # --- strength pattern split ------------------------------------
     S = S.tocsr()

@@ -35,6 +35,23 @@ def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
     builders consume it directly instead of re-deriving membership."""
     A = A.tocsr()
     n = A.shape[0]
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled():
+        from hypre_tpu.csrc import build as native
+
+        strong = native.strength_mask(A, theta, max_row_sum, abs_soc)
+        rows = expand_rows(A.indptr)
+        counts = np.bincount(rows[strong], minlength=n)
+        indptr = np.concatenate([[0], np.cumsum(counts)])
+        S = sp.csr_matrix(
+            (np.ones(int(strong.sum())), A.indices[strong], indptr),
+            shape=A.shape)
+        if return_mask:
+            return S, strong
+        return S
+
     diag = A.diagonal()
     rows = expand_rows(A.indptr)
     offdiag_mask = A.indices != rows

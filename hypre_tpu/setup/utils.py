@@ -2,7 +2,25 @@
 arrays and the deterministic PMIS measure hash."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def native_enabled() -> bool:
+    """Use the OpenMP C++ setup kernels (csrc/) when available.
+
+    Disable with HYPRE_TPU_NATIVE_SETUP=0 (the vectorized-numpy twins
+    then run; tests exercise both paths)."""
+    if os.environ.get("HYPRE_TPU_NATIVE_SETUP", "1") == "0":
+        return False
+    try:
+        from hypre_tpu.csrc.build import load
+
+        load()
+        return True
+    except Exception:
+        return False
 
 
 def row_reduce(data, indptr, op, empty):

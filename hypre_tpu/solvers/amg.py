@@ -152,9 +152,20 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             P = one_point_interp(Al, S, cf, strong_mask=strong_mask)
             R = air_restriction(Al, S, cf, strong_mask=strong_mask)
         else:
-            R = P.T.tocsr()
-        Ac = (R @ Al @ P).tocsr()
-        Ac.sort_indices()
+            R = None  # P^T, materialized below
+        from hypre_tpu.setup.utils import native_enabled
+
+        if native_enabled():
+            from hypre_tpu.csrc import build as native
+
+            if R is None:
+                R = native.csr_transpose(P)
+            Ac = native.spgemm(R, native.spgemm(Al.tocsr(), P))
+        else:
+            if R is None:
+                R = P.T.tocsr()
+            Ac = (R @ Al @ P).tocsr()
+            Ac.sort_indices()
         levels_host.append((Al, P, R, cf))
         Al = Ac
     return levels_host, Al

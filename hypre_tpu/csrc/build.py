@@ -58,6 +58,11 @@ def load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i64p, _i32p, _f64p, _i64p, _i32p, _f64p,
             _i64p, _i32p, _f64p]
+        lib.gs_wavefronts.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _i32p]
+        lib.mask_to_csr.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _u8p,
+            _i64p, _i32p]
         lib.stencil_csr.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, _i32p, _i32p, _i32p, _f64p,
@@ -67,7 +72,8 @@ def load():
             _i64p, _i32p, _f64p]
         for fn in ("rs_first_pass", "strength_mask", "pmis",
                    "direct_interp", "extpi_interp", "truncate_interp",
-                   "spgemm", "csr_transpose", "stencil_csr"):
+                   "spgemm", "csr_transpose", "stencil_csr",
+                   "mask_to_csr", "gs_wavefronts"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -254,3 +260,36 @@ def stencil_csr(shape, entries, dtype):
     A = sp.csr_matrix((data.astype(dtype, copy=False), indices, indptr),
                       shape=(n, n))
     return A
+
+
+def mask_to_csr(A, mask):
+    """Strength pattern S from the per-entry strong mask (data = 1)."""
+    import scipy.sparse as sp
+
+    lib = load()
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    mask_u8 = np.ascontiguousarray(mask, dtype=np.uint8)
+    s_indptr = np.zeros(n + 1, dtype=np.int64)
+    lib.mask_to_csr(n, 0, _p(indptr, _i64p), _p(indices, _i32p),
+                    _p(mask_u8, _u8p), _p(s_indptr, _i64p), _i32p())
+    nnz = int(s_indptr[n])
+    s_indices = np.empty(nnz, dtype=np.int32)
+    lib.mask_to_csr(n, 1, _p(indptr, _i64p), _p(indices, _i32p),
+                    _p(mask_u8, _u8p), _p(s_indptr, _i64p),
+                    _p(s_indices, _i32p))
+    return sp.csr_matrix((np.ones(nnz), s_indices, s_indptr),
+                         shape=A.shape)
+
+
+def gs_wavefronts(A, backward: bool = False):
+    """Wavefront depth per row for a (l1-)GS sweep over CSR A."""
+    lib = load()
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    depth = np.zeros(n, dtype=np.int32)
+    lib.gs_wavefronts(n, int(backward), _p(indptr, _i64p),
+                      _p(indices, _i32p), _p(depth, _i32p))
+    return depth

@@ -597,4 +597,67 @@ void stencil_csr(int64_t nx, int64_t ny, int64_t nz, int32_t n_ent,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Boolean-mask CSR filter: S = entries of A where mask is set (data
+// forced to 1.0) — builds the strength pattern from strength_mask's
+// output without numpy round trips.
+// ---------------------------------------------------------------------------
+void mask_to_csr(int64_t n, int32_t pass,
+                 const int64_t* indptr, const int32_t* indices,
+                 const uint8_t* mask,
+                 int64_t* s_indptr, int32_t* s_indices) {
+  if (pass == 0) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t cnt = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+        cnt += (mask[p] != 0);
+      s_indptr[i + 1] = cnt;
+    }
+    s_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) s_indptr[i + 1] += s_indptr[i];
+    return;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t w = s_indptr[i];
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (mask[p]) s_indices[w++] = indices[p];
+  }
+}
+
+
+// ---------------------------------------------------------------------------
+// Gauss-Seidel wavefront levels (the level-scheduling analysis a
+// vendor sparse trisolve performs, e.g. cusparse csrsv2 as used by the
+// reference's device hybrid-GS): depth[i] = longest chain of
+// lower-triangular couplings ending at i.  Rows of equal depth can
+// update concurrently in a forward sweep.  dir=0: forward (j < i);
+// dir=1: backward (j > i, scanned in reverse).
+// ---------------------------------------------------------------------------
+void gs_wavefronts(int64_t n, int32_t dir,
+                   const int64_t* indptr, const int32_t* indices,
+                   int32_t* depth) {
+  if (dir == 0) {
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t d = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int32_t j = indices[p];
+        if (j < i && depth[j] > d) d = depth[j];
+      }
+      depth[i] = d + 1;
+    }
+  } else {
+    for (int64_t i = n - 1; i >= 0; --i) {
+      int32_t d = 0;
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+        const int32_t j = indices[p];
+        if (j > i && depth[j] > d) d = depth[j];
+      }
+      depth[i] = d + 1;
+    }
+  }
+}
+
 }  // extern "C"

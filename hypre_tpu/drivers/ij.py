@@ -179,7 +179,11 @@ def main(argv=None):
 
     names = {0: "AMG", 1: "AMG-PCG", 2: "DS-PCG", 3: "AMG-GMRES",
              4: "DS-GMRES", 5: "AMG-CGNR", 6: "DS-CGNR",
-             9: "AMG-BiCGSTAB", 10: "DS-BiCGSTAB"}
+             8: "ParaSails-PCG", 9: "AMG-BiCGSTAB", 10: "DS-BiCGSTAB",
+             16: "AMG-COGMRES", 17: "DS-COGMRES", 20: "AMG-Hybrid",
+             50: "DS-LGMRES", 51: "AMG-LGMRES",
+             60: "DS-FlexGMRES", 61: "AMG-FlexGMRES",
+             43: "FSAI-PCG"}
     print(f"Solver: {names.get(solver_id, solver_id)}")
 
     timers.begin("Solve")
@@ -204,6 +208,45 @@ def main(argv=None):
         M = amg if solver_id == 9 else _diag_scale(A)
         res = bicgstab(op, b, x0=x0, M=M, tol=args.tol,
                        max_iter=args.max_iter)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (16, 17):
+        from hypre_tpu.solvers import cogmres
+
+        M = amg if solver_id == 16 else _diag_scale(A)
+        res = cogmres(op, b, x0=x0, M=M, tol=args.tol,
+                      max_iter=args.max_iter, k_dim=args.k_dim)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (50, 51):
+        from hypre_tpu.solvers import lgmres
+
+        M = amg if solver_id == 51 else _diag_scale(A)
+        res = lgmres(op, b, x0=x0, M=M, tol=args.tol,
+                     max_iter=args.max_iter, k_dim=args.k_dim,
+                     aug_dim=args.aug_dim)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id in (60, 61):
+        from hypre_tpu.solvers import flexgmres
+
+        M = amg if solver_id == 61 else _diag_scale(A)
+        res = flexgmres(op, b, x0=x0, M=M, tol=args.tol,
+                        max_iter=args.max_iter, k_dim=args.k_dim)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id == 20:
+        from hypre_tpu.solvers import HybridConfig, hybrid_solve
+
+        hres = hybrid_solve(A, b, HybridConfig(
+            tol=args.tol, amg=amg_cfg))
+        x = hres.x
+        iters = hres.dscg_iters + hres.pcg_iters
+        relres = hres.relres
+        print(f"PCG_Iterations = {hres.pcg_iters}")
+        print(f"DSCG_Iterations = {hres.dscg_iters}")
+    elif solver_id in (8, 43):
+        from hypre_tpu.solvers import FSAI, FsaiConfig
+
+        M = FSAI(FsaiConfig()).setup(A)
+        res = pcg(op, b, x0=x0, M=M.precondition, tol=args.tol,
+                  max_iter=args.max_iter)
         x, iters, relres = res.x, res.iters, res.relres
     else:
         print(f"solver id {solver_id} not implemented", file=sys.stderr)

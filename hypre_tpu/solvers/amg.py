@@ -69,7 +69,8 @@ class AmgConfig:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
-                      "L", "U", "c_mask", "gs_lo", "gs_up"],
+                      "L", "U", "c_mask", "gs_lo", "gs_up",
+                      "gs_wf_lo", "gs_wf_up"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
@@ -84,6 +85,8 @@ class AmgLevel:
     c_mask: Optional[jax.Array] = None  # 1.0 at C points (CF relax order)
     gs_lo: Optional[jax.Array] = None  # dense D+L (exact GS, small lvls)
     gs_up: Optional[jax.Array] = None  # dense D+U
+    gs_wf_lo: object = None   # WavefrontTriSolve (exact GS, large lvls)
+    gs_wf_up: object = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -212,20 +215,30 @@ class BoomerAMG:
                 bounds = jnp.asarray(b_np.astype(real))
             Uop = None
             gs_lo = gs_up = None
-            if cfg.relax_type in (3, 4, 6, 13, 14) \
-                    and Ah.shape[0] <= cfg.exact_gs_max:
-                # exact GS: dense triangular factors with the l1
-                # diagonal (single-shard semantics of hypre's hybrid
-                # (l1-)GS, ref: par_relax.c:24 types 3/4/6/13/14)
-                dl1 = l1_norms(Ah, self._l1_option()).astype(real)
-                dense_a = Ah.toarray().astype(real)
-                lo = np.tril(dense_a, -1)
-                up = np.triu(dense_a, 1)
-                np.fill_diagonal(lo, dl1)
-                np.fill_diagonal(up, dl1)
-                gs_lo = jnp.asarray(lo)
-                gs_up = jnp.asarray(up)
-            elif cfg.relax_type in (11, 12, 13, 14, 8):
+            gs_wf_lo = gs_wf_up = None
+            if cfg.relax_type in (3, 4, 6, 8, 13, 14):
+                # exact (l1-)GS (hypre hybrid GS semantics on a single
+                # rank, ref: par_relax.c:24 types 3/4/6/8/13/14).
+                # Small levels: dense triangular factors.  Larger:
+                # wavefront-scheduled sparse trisolve (the cusparse
+                # csrsv2 level-scheduling analog, ops/trisolve.py).
+                dl1 = l1_norms(Ah, self._l1_option())
+                if Ah.shape[0] <= cfg.exact_gs_max:
+                    dense_a = Ah.toarray().astype(real)
+                    lo = np.tril(dense_a, -1)
+                    up = np.triu(dense_a, 1)
+                    np.fill_diagonal(lo, dl1.astype(real))
+                    np.fill_diagonal(up, dl1.astype(real))
+                    gs_lo = jnp.asarray(lo)
+                    gs_up = jnp.asarray(up)
+                else:
+                    from hypre_tpu.ops.trisolve import build_trisolve
+
+                    gs_wf_lo = build_trisolve(Ah, dl1, backward=False,
+                                              real_dtype=real)
+                    gs_wf_up = build_trisolve(Ah, dl1, backward=True,
+                                              real_dtype=real)
+            elif cfg.relax_type in (11, 12):
                 Lh = sp.tril(Ah, k=-1).tocsr()
                 Uh = sp.triu(Ah, k=1).tocsr()
                 Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
@@ -239,6 +252,7 @@ class BoomerAMG:
                 dinv=jnp.asarray(dinv.astype(real)),
                 cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
                 c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
+                gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up,
             ))
         # coarsest level
         dev_levels.append(AmgLevel(
@@ -316,17 +330,24 @@ def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
         return _cheby_relax(lvl, f, u, cheby_order, num_sweeps)
 
     A, dinv = lvl.A, lvl.dinv
-    if relax_type in (3, 4, 6, 13, 14) and lvl.gs_lo is not None:
-        # exact (l1-)GS via dense triangular solves — matches hypre's
-        # CPU golden iteration counts on small levels
+    if relax_type in (3, 4, 6, 8, 13, 14) \
+            and (lvl.gs_lo is not None or lvl.gs_wf_lo is not None):
+        # exact (l1-)GS — dense triangular solves on small levels,
+        # wavefront-scheduled sparse trisolve on large ones; both give
+        # the sequential sweep's exact result (hypre CPU parity)
         def gs_sweep(u, back):
-            T = lvl.gs_up if back else lvl.gs_lo
             r = f if u is None else f - matvec(A, u)
-            z = jax.scipy.linalg.solve_triangular(T, r, lower=not back)
+            if lvl.gs_lo is not None:
+                T = lvl.gs_up if back else lvl.gs_lo
+                z = jax.scipy.linalg.solve_triangular(T, r,
+                                                      lower=not back)
+            else:
+                wf = lvl.gs_wf_up if back else lvl.gs_wf_lo
+                z = wf.solve(r)
             return z if u is None else u + z
 
         for _ in range(num_sweeps):
-            if relax_type == 6:          # symmetric GS
+            if relax_type in (6, 8):     # symmetric (l1-)GS
                 u = gs_sweep(u, False)
                 u = gs_sweep(u, True)
             elif relax_type in (13, 3):  # forward down / backward up

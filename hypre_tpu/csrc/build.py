@@ -22,6 +22,7 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _f64p = ctypes.POINTER(ctypes.c_double)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_i16p = ctypes.POINTER(ctypes.c_int16)
 
 
 def load():
@@ -60,6 +61,16 @@ def load():
             _i64p, _i32p, _f64p]
         lib.gs_wavefronts.argtypes = [
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _i32p]
+        lib.l1_norms.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _i64p, _i32p, ctypes.c_void_p, _u8p, _f64p]
+        lib.pmis_measure.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, _i32p, _i64p,
+            ctypes.c_int64, _f64p]
+        lib.gstell_pack.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _i64p, _i32p, _f64p, _i64p,
+            _i64p, _i32p, _i32p, _i32p, _i16p, ctypes.c_void_p]
         lib.mask_to_csr.argtypes = [
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _u8p,
             _i64p, _i32p]
@@ -73,7 +84,8 @@ def load():
         for fn in ("rs_first_pass", "strength_mask", "pmis",
                    "direct_interp", "extpi_interp", "truncate_interp",
                    "spgemm", "csr_transpose", "stencil_csr",
-                   "mask_to_csr", "gs_wavefronts"):
+                   "mask_to_csr", "gs_wavefronts", "gstell_pack",
+                   "l1_norms", "pmis_measure"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -279,8 +291,114 @@ def mask_to_csr(A, mask):
     lib.mask_to_csr(n, 1, _p(indptr, _i64p), _p(indices, _i32p),
                     _p(mask_u8, _u8p), _p(s_indptr, _i64p),
                     _p(s_indices, _i32p))
-    return sp.csr_matrix((np.ones(nnz), s_indices, s_indptr),
-                         shape=A.shape)
+    # uint8 data: S is a pattern; callers use only indptr/indices
+    return sp.csr_matrix((np.ones(nnz, dtype=np.uint8), s_indices,
+                          s_indptr), shape=A.shape)
+
+
+def l1_norms(A, option: int, offproc_mask=None):
+    """Native smoother l1 row norms (f32 data handled without a copy)."""
+    lib = load()
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data)
+    if data.dtype == np.float32:
+        is_f32 = 1
+    else:
+        data = data.astype(np.float64, copy=False)
+        is_f32 = 0
+    mask_p = _u8p()
+    if offproc_mask is not None:
+        mask_u8 = np.ascontiguousarray(offproc_mask, dtype=np.uint8)
+        mask_p = _p(mask_u8, _u8p)
+    d = np.empty(n, dtype=np.float64)
+    lib.l1_norms(n, option, is_f32, _p(indptr, _i64p),
+                 _p(indices, _i32p),
+                 data.ctypes.data_as(ctypes.c_void_p), mask_p,
+                 _p(d, _f64p))
+    return d
+
+
+def pmis_measure(S, global_ids, seed: int):
+    lib = load()
+    n = S.shape[0]
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    gids = np.ascontiguousarray(global_ids, dtype=np.int64)
+    measure = np.empty(n, dtype=np.float64)
+    lib.pmis_measure(n, len(indices), _p(indices, _i32p),
+                     _p(gids, _i64p), seed, _p(measure, _f64p))
+    return measure
+
+
+_gstell_lock = threading.Lock()
+
+
+def gstell_pack(A, gap, *, max_c, max_g, max_b, band_gap, max_win_rows,
+                vmem_x_limit, real_dtype, ch_step=8):
+    """Native GST-ELL packing (twin of ops/gstell.py:_gstell_pack).
+
+    Returns None when the matrix does not fit the format limits, else a
+    dict of host arrays: base/brel/w0b int32, locs int32, vals real,
+    plus the plan scalars (G, c, resident, B, eb, x_rows_pad).
+
+    Serialized by a lock: the C side caches pass-0 state between the
+    plan and fill calls (one static slot)."""
+    with _gstell_lock:
+        return _gstell_pack_locked(
+            A, gap, max_c=max_c, max_g=max_g, max_b=max_b,
+            band_gap=band_gap, max_win_rows=max_win_rows,
+            vmem_x_limit=vmem_x_limit, real_dtype=real_dtype,
+            ch_step=ch_step)
+
+
+def _gstell_pack_locked(A, gap, *, max_c, max_g, max_b, band_gap,
+                        max_win_rows, vmem_x_limit, real_dtype,
+                        ch_step=8):
+    lib = load()
+    real_dtype = np.dtype(real_dtype)
+    n_rows, n_cols = A.shape
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int32)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    params = np.array(
+        [gap, max_c, max_g, max_b, band_gap, max_win_rows,
+         vmem_x_limit, real_dtype.itemsize,
+         1 if real_dtype == np.float32 else 0], dtype=np.int64)
+    plan = np.zeros(8, dtype=np.int64)
+    nullp = _i32p()
+    lib.gstell_pack(n_rows, n_cols, 0, _p(indptr, _i64p),
+                    _p(indices, _i32p), _p(data, _f64p),
+                    _p(params, _i64p), _p(plan, _i64p),
+                    nullp, nullp, nullp, _i16p(), None)
+    if plan[0] != 1:
+        return None
+    G, c, resident, B, eb, x_rows_pad = (int(v) for v in plan[1:7])
+    n_chunks = -(-n_rows // 128)
+    n_steps = -(-n_chunks // ch_step)
+    n_chunks_pad = n_steps * ch_step
+    slots = 8 * G
+    base = np.zeros(n_chunks_pad * slots, dtype=np.int32)
+    locs = np.zeros(n_chunks_pad * slots * 128, dtype=np.int16)
+    vals = np.zeros(n_chunks_pad * slots * 128, dtype=real_dtype)
+    if resident:
+        brel = np.zeros(1, dtype=np.int32)
+        w0b = np.zeros(1, dtype=np.int32)
+    else:
+        brel = np.zeros(n_chunks_pad * slots, dtype=np.int32)
+        w0b = np.zeros(n_steps * B, dtype=np.int32)
+    lib.gstell_pack(n_rows, n_cols, 1, _p(indptr, _i64p),
+                    _p(indices, _i32p), _p(data, _f64p),
+                    _p(params, _i64p), _p(plan, _i64p),
+                    _p(base, _i32p), _p(brel, _i32p), _p(w0b, _i32p),
+                    _p(locs, _i16p),
+                    vals.ctypes.data_as(ctypes.c_void_p))
+    if plan[0] != 1:
+        return None
+    return dict(base=base, brel=(None if resident else brel),
+                w0b=(None if resident else w0b), locs=locs, vals=vals,
+                G=G, c=c, resident=bool(resident), B=B, eb=eb,
+                x_rows_pad=x_rows_pad, n_steps=n_steps)
 
 
 def gs_wavefronts(A, backward: bool = False):

@@ -660,4 +660,446 @@ void gs_wavefronts(int64_t n, int32_t dir,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Smoother l1 row norms (twin of setup/l1norms.py; semantics of
+// hypre_ParCSRComputeL1Norms, ref: src/parcsr_ls/ams.c:628-760).
+// option 1: full-row l1; option 4: |a_ii| + 0.5*offproc-l1 with the
+// Remark-6.2 truncation; option 5: diagonal (zeros -> 1).
+// data is f32 or f64 (is_f32 flag) to avoid a host-side copy.
+// ---------------------------------------------------------------------------
+void l1_norms(int64_t n, int32_t option, int32_t is_f32,
+              const int64_t* indptr, const int32_t* indices,
+              const void* data, const uint8_t* offproc_mask,
+              double* d) {
+  const float* df = (const float*)data;
+  const double* dd = (const double*)data;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double diag = 0.0, sum = 0.0, offp = 0.0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const double v = is_f32 ? (double)df[p] : dd[p];
+      if (indices[p] == i) diag = v;
+      sum += std::abs(v);
+      if (offproc_mask && offproc_mask[p]) offp += std::abs(v);
+    }
+    double r;
+    if (option == 5) {
+      r = (diag == 0.0) ? 1.0 : diag;
+      d[i] = r;
+      continue;
+    } else if (option == 1) {
+      r = sum;
+    } else {  // option 4
+      r = std::abs(diag) + 0.5 * offp;
+      if (r <= (4.0 / 3.0) * std::abs(diag)) r = std::abs(diag);
+    }
+    if (diag < 0) r = -r;
+    if (r == 0.0) r = 1.0;
+    d[i] = r;
+  }
+}
+
+
+// ---------------------------------------------------------------------------
+// PMIS measure: transpose-degree of S plus the splitmix64 hash of the
+// global row id (twin of setup/coarsen.py:47-53 + utils.pmis_hash).
+// ---------------------------------------------------------------------------
+void pmis_measure(int64_t n, int64_t nnz, const int32_t* indices,
+                  const int64_t* global_ids, int64_t seed,
+                  double* measure) {
+  std::vector<int64_t> deg(n, 0);
+  // column-degree count: per-thread partials merged (no atomics)
+#ifdef _OPENMP
+#pragma omp parallel
+  {
+    std::vector<int64_t> local(n, 0);
+#pragma omp for schedule(static)
+    for (int64_t p = 0; p < nnz; ++p) ++local[indices[p]];
+#pragma omp critical
+    for (int64_t i = 0; i < n; ++i) deg[i] += local[i];
+  }
+#else
+  for (int64_t p = 0; p < nnz; ++p) ++deg[indices[p]];
+#endif
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t z = ((uint64_t)global_ids[i] + (uint64_t)seed) *
+                 0x9E3779B97F4A7C15ULL;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    z = z ^ (z >> 31);
+    measure[i] = (double)deg[i] +
+                 (double)(z >> 11) / 9007199254740992.0;  // 2^53
+  }
+}
+
+
+namespace {
+// pass-0 state reused by pass 1 (the two calls always come in an
+// immediate plan -> fill pair from build.py with identical arrays)
+struct GstellCache {
+  bool valid = false;
+  const void* key_ptr = nullptr;
+  int64_t n_rows = 0, n_cols = 0, nnz = 0, gap = 0;
+  int64_t dmin = 0, n_clusters = 0, G = 0, c = 0, B = 0, eb = 0;
+  int64_t x_rows_pad = 0;
+  bool resident = false;
+  std::vector<int32_t> lut, slot_start, base, nb, starts_tmp, w0b;
+};
+GstellCache g_gst;
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// GST-ELL packer (native twin of ops/gstell.py:_gstell_pack).  The
+// Pallas SpMV format's host-side packing was the dominant setup cost
+// in pure numpy (scatter into (chunks, slots, 128) temporaries); this
+// does the same clustering / per-chunk slot assignment / banding in
+// one OpenMP pass over chunks with no large temporaries.
+//
+// Protocol: pass 0 computes the plan only; pass 1 re-runs and fills
+// the caller-allocated output arrays (zero-initialized by caller).
+// params: [gap, max_c, max_g, max_b, band_gap, max_win_rows,
+//          vmem_x_limit, real_itemsize, real_is_f32]
+// plan:   [ok, G, c, resident, B, eb, x_rows_pad, n_clusters]
+// ---------------------------------------------------------------------------
+void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
+                 const int64_t* indptr, const int32_t* indices,
+                 const double* data, const int64_t* params,
+                 int64_t* plan, int32_t* base_out, int32_t* brel_out,
+                 int32_t* w0b_out, int16_t* locs_out, void* vals_out) {
+  const int64_t nnz = indptr[n_rows];
+  const int64_t gap = params[0];
+  const int64_t MAX_C = params[1], MAX_G = params[2], MAX_B = params[3];
+  const int64_t BAND_GAP = params[4], MAX_WIN_ROWS = params[5];
+  const int64_t VMEM_X_LIMIT = params[6], ITEMSIZE = params[7];
+  const bool real_f32 = params[8] != 0;
+  constexpr int64_t CHUNK = 128, CH_STEP = 8;
+  plan[0] = 0;  // not ok until proven otherwise
+  if (nnz == 0 || n_rows == 0) return;
+
+  const int64_t x_rows = std::max<int64_t>((n_cols + 127) / 128, 1);
+  const int64_t n_chunks = (n_rows + CHUNK - 1) / CHUNK;
+  const int64_t n_steps = (n_chunks + CH_STEP - 1) / CH_STEP;
+  const int64_t n_chunks_pad = n_steps * CH_STEP;
+  const bool square = (n_rows == n_cols);
+
+  auto row_shift = [&](int64_t r) -> int64_t {
+    return square ? r : (r * n_cols) / n_rows;
+  };
+
+  const bool cache_hit = pass == 1 && g_gst.valid
+      && g_gst.key_ptr == (const void*)indptr && g_gst.n_rows == n_rows
+      && g_gst.n_cols == n_cols && g_gst.nnz == nnz && g_gst.gap == gap;
+  if (!cache_hit) {
+  g_gst.valid = false;
+
+  // ---- offset range ----
+  int64_t dmin = INT64_MAX, dmax = INT64_MIN;
+#pragma omp parallel for schedule(static) \
+    reduction(min : dmin) reduction(max : dmax)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t sh = row_shift(r);
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      const int64_t d = (int64_t)indices[p] - sh;
+      if (d < dmin) dmin = d;
+      if (d > dmax) dmax = d;
+    }
+  }
+  const int64_t span = dmax - dmin + 1;
+
+  // ---- cluster lut over the offset span ----
+  // (span > 2^27 would need a sort-unique path; AMG operators are
+  // banded so the span is ~stencil reach — refuse rather than thrash)
+  if (span > (int64_t(1) << 27)) return;
+  std::vector<uint8_t> present(span, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t sh = row_shift(r);
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      uint8_t& cell = present[(int64_t)indices[p] - sh - dmin];
+      if (!cell) cell = 1;  // benign race: only ever 0->1
+    }
+  }
+  std::vector<int32_t>& lut = g_gst.lut;
+  lut.assign(span, 0);
+  int64_t n_clusters = 0;
+  {
+    int64_t prev = INT64_MIN;
+    for (int64_t o = 0; o < span; ++o) {
+      if (!present[o]) continue;
+      if (prev != INT64_MIN && o - prev > gap) ++n_clusters;
+      lut[o] = (int32_t)n_clusters;
+      prev = o;
+    }
+    ++n_clusters;
+  }
+  if (n_clusters > 8 * MAX_G) return;
+  plan[7] = n_clusters;
+
+  // ---- per-chunk max run length per cluster -> slot starts ----
+  // (a run = consecutive same-cluster entries within one row; CSR
+  // columns are sorted so runs are contiguous)
+  std::vector<int32_t>& slot_start = g_gst.slot_start;
+  slot_start.assign(n_chunks * n_clusters, 0);
+  int64_t S_max = 0;
+#pragma omp parallel for schedule(static) reduction(max : S_max)
+  for (int64_t ch = 0; ch < n_chunks; ++ch) {
+    int32_t* m = &slot_start[ch * n_clusters];
+    const int64_t r0 = ch * CHUNK;
+    const int64_t r1 = std::min(r0 + CHUNK, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t sh = row_shift(r) + dmin;
+      int32_t cur = -1, len = 0;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int32_t cl = lut[(int64_t)indices[p] - sh];
+        if (cl != cur) {
+          if (cur >= 0 && len > m[cur]) m[cur] = len;
+          cur = cl;
+          len = 1;
+        } else {
+          ++len;
+        }
+      }
+      if (cur >= 0 && len > m[cur]) m[cur] = len;
+    }
+    // in-place exclusive prefix: m[] becomes slot_start per cluster
+    int32_t acc = 0;
+    for (int64_t cl = 0; cl < n_clusters; ++cl) {
+      const int32_t mm = m[cl];
+      m[cl] = acc;
+      acc += mm;
+    }
+    if (acc > S_max) S_max = acc;
+  }
+  const int64_t G = (S_max + 7) / 8;
+  if (G == 0 || G > MAX_G) return;
+  const int64_t SLOTS = 8 * G;
+  const int64_t projected = n_chunks_pad * SLOTS * CHUNK;
+  if (projected > std::max<int64_t>(16 * nnz, int64_t(1) << 20)) return;
+
+  // ---- per (chunk, slot) column range ----
+  std::vector<int64_t> cmin(n_chunks_pad * SLOTS, INT64_MAX);
+  std::vector<int64_t> cmax(n_chunks_pad * SLOTS, -1);
+#pragma omp parallel for schedule(static)
+  for (int64_t ch = 0; ch < n_chunks; ++ch) {
+    const int32_t* ss = &slot_start[ch * n_clusters];
+    int64_t* cn = &cmin[ch * SLOTS];
+    int64_t* cx = &cmax[ch * SLOTS];
+    const int64_t r0 = ch * CHUNK;
+    const int64_t r1 = std::min(r0 + CHUNK, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t sh = row_shift(r) + dmin;
+      int32_t cur = -1, rank = 0;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t col = indices[p];
+        const int32_t cl = lut[col - sh];
+        rank = (cl == cur) ? rank + 1 : 0;
+        cur = cl;
+        const int64_t s = ss[cl] + rank;
+        if (col < cn[s]) cn[s] = col;
+        if (col > cx[s]) cx[s] = col;
+      }
+    }
+  }
+
+  // ---- bases + window width c ----
+  std::vector<int32_t>& base = g_gst.base;
+  base.assign(n_chunks_pad * SLOTS, 0);
+  int64_t spread_max = 0;
+#pragma omp parallel for schedule(static) reduction(max : spread_max)
+  for (int64_t i = 0; i < n_chunks_pad * SLOTS; ++i) {
+    if (cmax[i] >= 0) {
+      const int64_t b = cmin[i] / 128;
+      base[i] = (int32_t)b;
+      const int64_t spread = cmax[i] - b * 128;
+      if (spread > spread_max) spread_max = spread;
+    } else {
+      base[i] = -1;  // unused, filled below
+    }
+  }
+  int64_t c = std::max<int64_t>((spread_max + 1 + 127) / 128, 1);
+  const int64_t max_c_eff = (nnz > 1000000) ? MAX_C : 4 * MAX_C;
+  if (c > max_c_eff) return;
+
+  // fill unused slots with a used base from the same chunk (fallback:
+  // nearest preceding used chunk, then the first used chunk)
+  std::vector<int64_t> chunk_min(n_chunks_pad, -1);
+#pragma omp parallel for schedule(static)
+  for (int64_t ch = 0; ch < n_chunks_pad; ++ch) {
+    int64_t mn = INT64_MAX;
+    for (int64_t s = 0; s < SLOTS; ++s) {
+      const int32_t b = base[ch * SLOTS + s];
+      if (b >= 0 && b < mn) mn = b;
+    }
+    chunk_min[ch] = (mn == INT64_MAX) ? -1 : mn;
+  }
+  {
+    int64_t first = -1;
+    for (int64_t ch = 0; ch < n_chunks_pad; ++ch)
+      if (chunk_min[ch] >= 0) { first = chunk_min[ch]; break; }
+    if (first < 0) return;
+    int64_t carry = first;
+    for (int64_t ch = 0; ch < n_chunks_pad; ++ch) {
+      if (chunk_min[ch] >= 0) carry = chunk_min[ch];
+      else chunk_min[ch] = carry;
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t ch = 0; ch < n_chunks_pad; ++ch)
+    for (int64_t s = 0; s < SLOTS; ++s)
+      if (base[ch * SLOTS + s] < 0)
+        base[ch * SLOTS + s] = (int32_t)chunk_min[ch];
+
+  const bool resident =
+      (x_rows + c) * 128 * ITEMSIZE <= VMEM_X_LIMIT;
+  int64_t B = 0, eb = 0, x_rows_pad = 0;
+  std::vector<int32_t>& w0b = g_gst.w0b;   // n_steps*B (windowed only)
+  std::vector<int32_t>& nb = g_gst.nb;     // bands per step
+  std::vector<int32_t>& starts_tmp = g_gst.starts_tmp;
+  w0b.clear(); nb.clear(); starts_tmp.clear();
+
+  if (resident) {
+    int64_t bmax = 0;
+#pragma omp parallel for schedule(static) reduction(max : bmax)
+    for (int64_t i = 0; i < n_chunks_pad * SLOTS; ++i)
+      if (base[i] > bmax) bmax = base[i];
+    x_rows_pad = std::max(bmax + c, x_rows);
+  } else {
+    // ---- band the per-step bases into <= MAX_B DMA windows ----
+    const int64_t S_step = CH_STEP * SLOTS;
+    starts_tmp.assign(n_steps * MAX_B, 0);
+    nb.assign(n_steps, 0);
+    int64_t rel_max = 0;
+    bool ok_bands = true;
+#pragma omp parallel reduction(max : rel_max) reduction(&& : ok_bands)
+    {
+      std::vector<int32_t> sb(S_step);
+      std::vector<int64_t> gaps_sorted;
+#pragma omp for schedule(static)
+      for (int64_t t = 0; t < n_steps; ++t) {
+        const int32_t* bs = &base[t * S_step];
+        std::copy(bs, bs + S_step, sb.begin());
+        std::sort(sb.begin(), sb.end());
+        // kth-largest gap threshold guarantees <= MAX_B bands
+        int64_t kth = 0;
+        if (S_step - 1 > MAX_B - 1) {
+          gaps_sorted.resize(S_step - 1);
+          for (int64_t i = 0; i + 1 < S_step; ++i)
+            gaps_sorted[i] = sb[i + 1] - sb[i];
+          std::nth_element(gaps_sorted.begin(),
+                           gaps_sorted.begin() + (S_step - 1 - (MAX_B - 1)),
+                           gaps_sorted.end());
+          kth = gaps_sorted[S_step - 1 - (MAX_B - 1)];
+        }
+        int32_t* st = &starts_tmp[t * MAX_B];
+        int32_t count = 1;
+        st[0] = sb[0];
+        for (int64_t i = 0; i + 1 < S_step; ++i) {
+          const int64_t g = sb[i + 1] - sb[i];
+          if (g > BAND_GAP && g >= kth && count < MAX_B)
+            st[count++] = sb[i + 1];
+        }
+        nb[t] = count;
+        // rel of each slot vs its band start (starts are sorted)
+        for (int64_t sl = 0; sl < S_step; ++sl) {
+          const int32_t b = bs[sl];
+          int32_t bd = count - 1;
+          while (bd > 0 && st[bd] > b) --bd;
+          const int64_t rel = b - st[bd];
+          if (rel < 0) ok_bands = false;
+          if (rel > rel_max) rel_max = rel;
+        }
+      }
+    }
+    if (!ok_bands) return;
+    for (int64_t t = 0; t < n_steps; ++t)
+      if (nb[t] > B) B = nb[t];
+    eb = rel_max + c;
+    if (B * eb > MAX_WIN_ROWS) return;
+    w0b.resize(n_steps * B);
+    int64_t wmax = 0;
+    for (int64_t t = 0; t < n_steps; ++t) {
+      for (int64_t bd = 0; bd < B; ++bd) {
+        const int32_t v = (bd < nb[t]) ? starts_tmp[t * MAX_B + bd]
+                                       : starts_tmp[t * MAX_B];
+        w0b[t * B + bd] = v;
+        if (v > wmax) wmax = v;
+      }
+    }
+    x_rows_pad = std::max(wmax + eb, x_rows);
+  }
+
+  g_gst.valid = true;
+  g_gst.key_ptr = (const void*)indptr;
+  g_gst.n_rows = n_rows; g_gst.n_cols = n_cols;
+  g_gst.nnz = nnz; g_gst.gap = gap;
+  g_gst.dmin = dmin; g_gst.n_clusters = n_clusters;
+  g_gst.G = G; g_gst.c = c; g_gst.B = B; g_gst.eb = eb;
+  g_gst.x_rows_pad = x_rows_pad; g_gst.resident = resident;
+  }  // !cache_hit
+
+  const int64_t dmin = g_gst.dmin, n_clusters = g_gst.n_clusters;
+  const int64_t G = g_gst.G, c = g_gst.c, B = g_gst.B, eb = g_gst.eb;
+  const int64_t SLOTS = 8 * G;
+  const bool resident = g_gst.resident;
+  const std::vector<int32_t>& lut = g_gst.lut;
+  const std::vector<int32_t>& slot_start = g_gst.slot_start;
+  const std::vector<int32_t>& base = g_gst.base;
+  plan[0] = 1;
+  plan[1] = G;
+  plan[2] = c;
+  plan[3] = resident ? 1 : 0;
+  plan[4] = B;
+  plan[5] = eb;
+  plan[6] = g_gst.x_rows_pad;
+  plan[7] = n_clusters;
+  if (pass == 0) return;
+
+  // ---- pass 1: fill outputs (locs/vals zero-initialized by caller) --
+  std::copy(base.begin(), base.end(), base_out);
+  if (!resident) {
+    std::copy(g_gst.w0b.begin(), g_gst.w0b.end(), w0b_out);
+    const int64_t S_step = CH_STEP * SLOTS;
+#pragma omp parallel for schedule(static)
+    for (int64_t t = 0; t < n_steps; ++t) {
+      const int32_t* st = &g_gst.starts_tmp[t * MAX_B];
+      const int32_t count = g_gst.nb[t];
+      for (int64_t sl = 0; sl < S_step; ++sl) {
+        const int32_t b = base[t * S_step + sl];
+        int32_t bd = count - 1;
+        while (bd > 0 && st[bd] > b) --bd;
+        brel_out[t * S_step + sl] = (int32_t)(bd * eb + (b - st[bd]));
+      }
+    }
+  }
+  bool ok_loc = true;
+#pragma omp parallel for schedule(static) reduction(&& : ok_loc)
+  for (int64_t ch = 0; ch < n_chunks; ++ch) {
+    const int32_t* ss = &slot_start[ch * n_clusters];
+    const int64_t r0 = ch * CHUNK;
+    const int64_t r1 = std::min(r0 + CHUNK, n_rows);
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t sh = row_shift(r) + dmin;
+      const int64_t lane = r - r0;
+      int32_t cur = -1, rank = 0;
+      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+        const int64_t col = indices[p];
+        const int32_t cl = lut[col - sh];
+        rank = (cl == cur) ? rank + 1 : 0;
+        cur = cl;
+        const int64_t s = ss[cl] + rank;
+        const int64_t loc = col - (int64_t)base[ch * SLOTS + s] * 128;
+        if (loc < 0 || loc >= 128 * c) ok_loc = false;
+        const int64_t at = (ch * SLOTS + s) * CHUNK + lane;
+        locs_out[at] = (int16_t)loc;
+        if (real_f32)
+          ((float*)vals_out)[at] = (float)data[p];
+        else
+          ((double*)vals_out)[at] = data[p];
+      }
+    }
+  }
+  if (!ok_loc) plan[0] = 0;
+}
+
 }  // extern "C"

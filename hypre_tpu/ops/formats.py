@@ -239,15 +239,21 @@ def dia_from_scipy(A, real_dtype=None, max_diags: int = 40) -> "DiaMatrix | None
 
     cfg = get_config()
     real_dtype = real_dtype or cfg.real_dtype
-    A = A.tocoo()
-    offs = A.col.astype(np.int64) - A.row.astype(np.int64)
+    A = A.tocsr()
+    n_rows, n_cols = A.shape
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(A.indptr))
+    offs = A.indices.astype(np.int64) - row
+    # cheap reject before the full unique: a sample of entries already
+    # exceeding max_diags distinct offsets proves the full set does too
+    if len(offs) > 1 << 20:
+        if len(np.unique(offs[:: len(offs) // (1 << 16)])) > max_diags:
+            return None
     uniq = np.unique(offs)
     if len(uniq) > max_diags:
         return None
-    n_rows, n_cols = A.shape
     vals = np.zeros((len(uniq), n_rows), dtype=np.dtype(real_dtype))
     d_idx = np.searchsorted(uniq, offs)
-    vals[d_idx, A.row] = A.data
+    vals[d_idx, row] = A.data
     return DiaMatrix(vals=jnp.asarray(vals),
                      offsets=tuple(int(d) for d in uniq), n_cols=int(n_cols))
 

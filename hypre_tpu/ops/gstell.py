@@ -92,7 +92,8 @@ class GstEllMatrix:
     brel: int32[same]  windowed mode: band*Eb + (base - w0_band) —
              direct row index into the concatenated band window scratch
     w0b:  int32[n_steps, B]  per (step, band) x2d window start row
-    locs: int32[n_steps, CH_STEP, 8*G, 128] local offsets in [0,128c)
+    locs: int16[n_steps, CH_STEP, 8*G, 128] local offsets in [0,128c)
+          (int16 halves HBM bytes; kernels upcast in VMEM)
     vals: real [same]     0 in padding slots
     """
 
@@ -124,9 +125,12 @@ def gstell_from_scipy(A, real_dtype=None):
     A.sort_indices()
     if A.nnz == 0 or A.shape[0] == 0:
         return None
+    from hypre_tpu.setup.utils import native_enabled
+
+    pack = _gstell_pack_native if native_enabled() else _gstell_pack
     best = None
     for gap in (GAP, GAP * 16):
-        cand = _gstell_pack(A, real_dtype, gap)
+        cand = pack(A, real_dtype, gap)
         if cand is None:
             continue
         if best is None or cand.vals.size < best.vals.size:
@@ -134,6 +138,40 @@ def gstell_from_scipy(A, real_dtype=None):
         if best.vals.size <= 2.0 * best.nnz:
             break
     return best
+
+
+def _gstell_pack_native(A, real_dtype=None, gap=GAP):
+    """Native packing (csrc/setup_kernels.cpp:gstell_pack) — same plan
+    as _gstell_pack but one OpenMP pass, no large numpy temporaries."""
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.csrc import build as native
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    n_rows, n_cols = A.shape
+    r = native.gstell_pack(
+        A, gap, max_c=MAX_C, max_g=MAX_G, max_b=MAX_B,
+        band_gap=BAND_GAP, max_win_rows=MAX_WIN_ROWS,
+        vmem_x_limit=VMEM_X_LIMIT, real_dtype=real_dtype,
+        ch_step=CH_STEP)
+    if r is None:
+        return None
+    G, n_steps = r["G"], r["n_steps"]
+    x_rows = max(-(-n_cols // 128), 1)
+    return GstEllMatrix(
+        base=jnp.asarray(r["base"].reshape(n_steps, CH_STEP, G, 8)),
+        brel=(None if r["resident"] else jnp.asarray(
+            r["brel"].reshape(n_steps, CH_STEP, G, 8))),
+        w0b=(None if r["resident"] else jnp.asarray(
+            r["w0b"].reshape(n_steps, r["B"]))),
+        locs=jnp.asarray(
+            r["locs"].reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
+        vals=jnp.asarray(
+            r["vals"].reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
+        n_rows=int(n_rows), n_cols=int(n_cols), c=r["c"], g=G,
+        b=r["B"], eb=r["eb"], x_rows=int(x_rows),
+        x_rows_pad=r["x_rows_pad"], resident=r["resident"],
+        nnz=int(A.nnz),
+    )
 
 
 def _gstell_pack(A, real_dtype=None, gap=GAP):
@@ -267,7 +305,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
                   and loc_arr.max(initial=0) < 128 * c,
                   "locs out of [0, 128c)"):
         return None
-    locs = loc_arr.astype(np.int32)
+    locs = loc_arr.astype(np.int16)
     del col_arr, loc_arr
     vals = np.zeros((n_chunks_pad, 8 * G, CHUNK), dtype=real_dtype)
     vals[chunk, slot, lane] = dat
@@ -350,7 +388,7 @@ def _chunk_body(base_get, locs_row, vals_row, row_at, c, G, dtype):
     row_at:   b -> (1, 128) row b of the x window."""
     total = jnp.zeros((8, 128), dtype=dtype)
     for g in range(G):
-        locs_blk = locs_row[g * 8:(g + 1) * 8, :]
+        locs_blk = locs_row[g * 8:(g + 1) * 8, :].astype(jnp.int32)
         lane = jnp.bitwise_and(locs_blk, 127)
         sub = jnp.right_shift(locs_blk, 7)
         acc = None

@@ -27,7 +27,9 @@ def aggressive_coarsen(S: sp.csr_matrix, cf1: np.ndarray,
     if len(c1) == 0:
         return cf1
     # restriction of S to C1 via distance <= 2 paths: S2 = S + S·S
-    Sb = S.tocsr()
+    # (float data: S may carry a uint8 pattern, which the product
+    # would overflow)
+    Sb = S.tocsr().astype(np.float64)
     S2 = (Sb + Sb @ Sb).tocsr()
     S2.data[:] = 1.0
     sub = S2[c1][:, c1].tocsr()

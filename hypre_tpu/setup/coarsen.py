@@ -48,8 +48,7 @@ def pmis(S: sp.csr_matrix, seed: int = 2747,
         from hypre_tpu.csrc import build as native
 
         # ST degree = column counts of S; no transpose materialized
-        measure = np.bincount(S.indices, minlength=n).astype(np.float64)
-        measure += pmis_hash(global_ids, seed)
+        measure = native.pmis_measure(S, global_ids, seed)
         return native.pmis(S, measure)
 
     ST = S.T.tocsr()

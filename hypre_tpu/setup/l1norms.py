@@ -26,6 +26,14 @@ def l1_norms(A: sp.csr_matrix, option: int = 1,
              offproc_mask: np.ndarray | None = None) -> np.ndarray:
     A = A.tocsr()
     n = A.shape[0]
+
+    from hypre_tpu.setup.utils import native_enabled
+
+    if native_enabled() and option in (1, 4, 5):
+        from hypre_tpu.csrc import build as native
+
+        return native.l1_norms(A, option, offproc_mask)
+
     diag = A.diagonal()
     rows = expand_rows(A.indptr)
 

@@ -42,12 +42,7 @@ def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
         from hypre_tpu.csrc import build as native
 
         strong = native.strength_mask(A, theta, max_row_sum, abs_soc)
-        rows = expand_rows(A.indptr)
-        counts = np.bincount(rows[strong], minlength=n)
-        indptr = np.concatenate([[0], np.cumsum(counts)])
-        S = sp.csr_matrix(
-            (np.ones(int(strong.sum())), A.indices[strong], indptr),
-            shape=A.shape)
+        S = native.mask_to_csr(A, strong)
         if return_mask:
             return S, strong
         return S

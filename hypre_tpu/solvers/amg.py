@@ -113,8 +113,21 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
 
     Returns ([(A_l, P_l, R_l)], A_coarsest) as scipy matrices.
     """
-    levels_host = []
+    gen = iter_host_hierarchy(A, cfg)
+    levels_host = list(gen)
+    Al = levels_host.pop()  # generator's final item is the coarsest A
+    return levels_host, Al
+
+
+def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
+    """Generator form of the level loop: yields (A_l, P_l, R_l, cf_l)
+    per level as soon as it is built (so device packing/transfer can
+    overlap the build of coarser levels), then the coarsest A last."""
     Al = A.tocsr()
+    if Al.data.dtype != np.float64:
+        # setup runs in f64 (hypre semantics); converting once here
+        # makes every native kernel's f64 view a no-copy pass-through
+        Al = Al.astype(np.float64)
     for _level in range(cfg.max_levels - 1):
         n = Al.shape[0]
         if n <= cfg.max_coarse_size:
@@ -169,9 +182,9 @@ def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                 R = P.T.tocsr()
             Ac = (R @ Al @ P).tocsr()
             Ac.sort_indices()
-        levels_host.append((Al, P, R, cf))
+        yield (Al, P, R, cf)
         Al = Ac
-    return levels_host, Al
+    yield Al
 
 
 def l1_option_for_relax(relax_type: int) -> int:
@@ -198,63 +211,83 @@ class BoomerAMG:
     # -- setup --------------------------------------------------------
 
     def setup(self, A: sp.csr_matrix) -> "BoomerAMG":
+        """Pipelined setup: host level-build (numpy/native, GIL-free)
+        streams into device packing + transfer on a worker pool, so
+        building level l+1 overlaps packing/transferring level l."""
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.config
-        levels_host, Al = build_host_hierarchy(A, cfg)
         n_fine_nnz = A.nnz
-
-        # convert to device pytree
-        real = get_config().np_real
-        dev_levels = []
-        for Ah, Ph, Rh, cfm in levels_host:
-            dinv = 1.0 / l1_norms(Ah, self._l1_option())
-            ds = bounds = Lop = cmask = None
-            if cfg.relax_type == 16:
-                ds_np, b_np = chebyshev_setup(Ah, cfg.cheby_fraction,
-                                              cfg.cheby_eig_iters)
-                ds = jnp.asarray(ds_np.astype(real))
-                bounds = jnp.asarray(b_np.astype(real))
-            Uop = None
-            gs_lo = gs_up = None
-            gs_wf_lo = gs_wf_up = None
-            if cfg.relax_type in (3, 4, 6, 8, 13, 14):
-                # exact (l1-)GS (hypre hybrid GS semantics on a single
-                # rank, ref: par_relax.c:24 types 3/4/6/8/13/14).
-                # Small levels: dense triangular factors.  Larger:
-                # wavefront-scheduled sparse trisolve (the cusparse
-                # csrsv2 level-scheduling analog, ops/trisolve.py).
-                dl1 = l1_norms(Ah, self._l1_option())
-                if Ah.shape[0] <= cfg.exact_gs_max:
-                    dense_a = Ah.toarray().astype(real)
-                    lo = np.tril(dense_a, -1)
-                    up = np.triu(dense_a, 1)
-                    np.fill_diagonal(lo, dl1.astype(real))
-                    np.fill_diagonal(up, dl1.astype(real))
-                    gs_lo = jnp.asarray(lo)
-                    gs_up = jnp.asarray(up)
+        levels_host = []
+        futs = []
+        Al = None
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for item in iter_host_hierarchy(A, cfg):
+                if isinstance(item, tuple):
+                    levels_host.append(item)
+                    futs.append(ex.submit(self._build_dev_level, *item))
                 else:
-                    from hypre_tpu.ops.trisolve import build_trisolve
+                    Al = item
+            dev_levels = [f.result() for f in futs]
+        return self._finish_setup(levels_host, dev_levels, Al,
+                                  n_fine_nnz)
 
-                    gs_wf_lo = build_trisolve(Ah, dl1, backward=False,
-                                              real_dtype=real)
-                    gs_wf_up = build_trisolve(Ah, dl1, backward=True,
-                                              real_dtype=real)
-            elif cfg.relax_type in (11, 12):
-                Lh = sp.tril(Ah, k=-1).tocsr()
-                Uh = sp.triu(Ah, k=1).tocsr()
-                Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
-                Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
-            if cfg.relax_order:
-                cmask = jnp.asarray((cfm == C_PT).astype(real))
-            dev_levels.append(AmgLevel(
-                A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
-                P=sparse_op_from_scipy(Ph, prefer_dia=False),
-                R=sparse_op_from_scipy(Rh, prefer_dia=False),
-                dinv=jnp.asarray(dinv.astype(real)),
-                cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
-                c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
-                gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up,
-            ))
+    def _build_dev_level(self, Ah, Ph, Rh, cfm):
+        cfg = self.config
+        real = get_config().np_real
+        dinv = 1.0 / l1_norms(Ah, self._l1_option())
+        ds = bounds = Lop = cmask = None
+        if cfg.relax_type == 16:
+            ds_np, b_np = chebyshev_setup(Ah, cfg.cheby_fraction,
+                                          cfg.cheby_eig_iters)
+            ds = jnp.asarray(ds_np.astype(real))
+            bounds = jnp.asarray(b_np.astype(real))
+        Uop = None
+        gs_lo = gs_up = None
+        gs_wf_lo = gs_wf_up = None
+        if cfg.relax_type in (3, 4, 6, 8, 13, 14):
+            # exact (l1-)GS (hypre hybrid GS semantics on a single
+            # rank, ref: par_relax.c:24 types 3/4/6/8/13/14).
+            # Small levels: dense triangular factors.  Larger:
+            # wavefront-scheduled sparse trisolve (the cusparse
+            # csrsv2 level-scheduling analog, ops/trisolve.py).
+            dl1 = l1_norms(Ah, self._l1_option())
+            if Ah.shape[0] <= cfg.exact_gs_max:
+                dense_a = Ah.toarray().astype(real)
+                lo = np.tril(dense_a, -1)
+                up = np.triu(dense_a, 1)
+                np.fill_diagonal(lo, dl1.astype(real))
+                np.fill_diagonal(up, dl1.astype(real))
+                gs_lo = jnp.asarray(lo)
+                gs_up = jnp.asarray(up)
+            else:
+                from hypre_tpu.ops.trisolve import build_trisolve
+
+                gs_wf_lo = build_trisolve(Ah, dl1, backward=False,
+                                          real_dtype=real)
+                gs_wf_up = build_trisolve(Ah, dl1, backward=True,
+                                          real_dtype=real)
+        elif cfg.relax_type in (11, 12):
+            Lh = sp.tril(Ah, k=-1).tocsr()
+            Uh = sp.triu(Ah, k=1).tocsr()
+            Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
+            Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
+        if cfg.relax_order:
+            cmask = jnp.asarray((cfm == C_PT).astype(real))
+        return AmgLevel(
+            A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
+            P=sparse_op_from_scipy(Ph, prefer_dia=False),
+            R=sparse_op_from_scipy(Rh, prefer_dia=False),
+            dinv=jnp.asarray(dinv.astype(real)),
+            cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
+            c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
+            gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up,
+        )
+
+    def _finish_setup(self, levels_host, dev_levels, Al, n_fine_nnz):
+        cfg = self.config
         # coarsest level
+        dev_levels = list(dev_levels)
         dev_levels.append(AmgLevel(
             A=sparse_op_from_scipy(Al, prefer_dia=cfg.prefer_dia),
             P=None, R=None, dinv=None))

@@ -52,6 +52,10 @@ def load():
         lib.extpi_interp.argtypes = [
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p, _u8p,
             _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
+        lib.lr_interp.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _i64p, _i32p, _f64p, _u8p,
+            _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
         lib.truncate_interp.argtypes = [
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p,
             ctypes.c_double, ctypes.c_int64, _i64p, _i32p, _f64p]
@@ -85,7 +89,7 @@ def load():
                    "direct_interp", "extpi_interp", "truncate_interp",
                    "spgemm", "csr_transpose", "stencil_csr",
                    "mask_to_csr", "gs_wavefronts", "gstell_pack",
-                   "l1_norms", "pmis_measure"):
+                   "l1_norms", "pmis_measure", "lr_interp"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -141,7 +145,7 @@ def pmis(S, measure: np.ndarray) -> np.ndarray:
     return cf
 
 
-def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=()):
+def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=(), lead=()):
     import scipy.sparse as sp
 
     lib = load()
@@ -154,7 +158,7 @@ def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=()):
     p_indptr = np.zeros(n + 1, dtype=np.int64)
     null32 = _i32p()
     null64 = _f64p()
-    args0 = [n, 0, _p(indptr, _i64p), _p(indices, _i32p),
+    args0 = [n, 0, *lead, _p(indptr, _i64p), _p(indices, _i32p),
              _p(data, _f64p), _p(strong_u8, _u8p), _p(cf32, _i32p),
              _p(cmap32, _i32p), *extra, _p(p_indptr, _i64p),
              null32, null64]
@@ -162,7 +166,7 @@ def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=()):
     nnz = int(p_indptr[n])
     p_indices = np.zeros(nnz, dtype=np.int32)
     p_data = np.zeros(nnz, dtype=np.float64)
-    args1 = [n, 1, _p(indptr, _i64p), _p(indices, _i32p),
+    args1 = [n, 1, *lead, _p(indptr, _i64p), _p(indices, _i32p),
              _p(data, _f64p), _p(strong_u8, _u8p), _p(cf32, _i32p),
              _p(cmap32, _i32p), *extra, _p(p_indptr, _i64p),
              _p(p_indices, _i32p), _p(p_data, _f64p)]
@@ -180,6 +184,14 @@ def extpi_interp(A, strong, cf, cmap):
     diag = np.ascontiguousarray(A.diagonal(), dtype=np.float64)
     return _interp_two_pass("extpi_interp", A, strong, cf, cmap,
                             extra=(_p(diag, _f64p),))
+
+
+def lr_interp(A, strong, cf, cmap, variant: int):
+    """Classical (0) / extended (14) / standard (8, 9=sep_weight)."""
+    diag = np.ascontiguousarray(A.diagonal(), dtype=np.float64)
+    return _interp_two_pass("lr_interp", A, strong, cf, cmap,
+                            extra=(_p(diag, _f64p),),
+                            lead=(variant,))
 
 
 def truncate_interp(P, trunc_factor: float, max_elmts: int):

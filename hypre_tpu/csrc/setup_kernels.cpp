@@ -411,6 +411,211 @@ void extpi_interp(int64_t n, int32_t pass,
 }
 
 // ---------------------------------------------------------------------------
+// Long-range interpolation family (single-rank semantics of hypre's
+// host builders):
+//   variant 0:  classical modified (hypre_BoomerAMGBuildInterp,
+//               ref: par_interp.c:15-900) — distance-1 pattern,
+//               strong-F couplings distributed over common strong C
+//               with the sign filter sgn(a_jj)*a_jl < 0.
+//   variant 14: extended (hypre_BoomerAMGBuildExtInterp, ref:
+//               par_lr_interp.c:4777-5520) — same distribution but
+//               over the distance-2 pattern (strong C of i plus
+//               strong C of strong-F neighbors).
+//   variant 8/9: standard (hypre_BoomerAMGBuildStdInterp, ref:
+//               par_lr_interp.c:22-1010) — eliminates strong-F rows
+//               into an extended row ahat over the distance-2
+//               pattern; 9 = sep_weight (pos/neg scaled separately).
+// Two-pass like the other interp kernels.
+// ---------------------------------------------------------------------------
+void lr_interp(int64_t n, int32_t pass, int32_t variant,
+               const int64_t* a_indptr, const int32_t* a_indices,
+               const double* a_data, const uint8_t* strong,
+               const int32_t* cf, const int32_t* cmap,
+               const double* diag /* a_ii per row */,
+               int64_t* p_indptr,
+               int32_t* p_indices, double* p_data) {
+  const bool dist2 = (variant != 0);
+  const bool standard = (variant == 8 || variant == 9);
+  const bool sep = (variant == 9);
+#pragma omp parallel
+  {
+    std::vector<int64_t> marker(n, -1);   // C-pattern stamps / slots
+    std::vector<int64_t> fslot(n, -1);    // F-slot stamp (standard)
+    std::vector<int32_t> patt, fpnt;
+    std::vector<double> acc, facc;
+    patt.reserve(64);
+
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] == C_PT) {
+        if (pass == 0) {
+          p_indptr[i + 1] = 1;
+        } else {
+          p_indices[p_indptr[i]] = cmap[i];
+          p_data[p_indptr[i]] = 1.0;
+        }
+        continue;
+      }
+      if (cf[i] == 0 || cf[i] == SF_PT) {
+        if (pass == 0) p_indptr[i + 1] = 0;
+        continue;
+      }
+      // ---- pattern: strong C of i (+ strong C of strong-F, dist2) --
+      patt.clear();
+      const int64_t b = a_indptr[i], e = a_indptr[i + 1];
+      for (int64_t p = b; p < e; ++p) {
+        if (!strong[p]) continue;
+        const int32_t j = a_indices[p];
+        if (cf[j] == C_PT) {
+          if (marker[j] != i) {
+            marker[j] = i;
+            patt.push_back(j);
+          }
+        } else if (dist2 && cf[j] == F_PT) {
+          for (int64_t q = a_indptr[j]; q < a_indptr[j + 1]; ++q) {
+            if (!strong[q]) continue;
+            const int32_t l = a_indices[q];
+            if (cf[l] == C_PT && marker[l] != i) {
+              marker[l] = i;
+              patt.push_back(l);
+            }
+          }
+        }
+      }
+      if (pass == 0) {
+        p_indptr[i + 1] = (int64_t)patt.size();
+        continue;
+      }
+      std::sort(patt.begin(), patt.end());
+      const int64_t w0 = p_indptr[i];
+      acc.assign(patt.size(), 0.0);
+      for (size_t s = 0; s < patt.size(); ++s)
+        marker[patt[s]] = -((int64_t)s + 2);  // slot = -marker - 2
+
+      if (!standard) {
+        // ---- classical / extended distribution ----
+        double d = diag[i];
+        for (int64_t p = b; p < e; ++p) {
+          const int32_t j = a_indices[p];
+          if (j == i) continue;
+          const double aij = a_data[p];
+          if (marker[j] <= -2) {
+            acc[-marker[j] - 2] += aij;
+          } else if (strong[p] && cf[j] == F_PT) {
+            const double sgn = (diag[j] > 0) - (diag[j] < 0);
+            double denom = 0.0;
+            for (int64_t q = a_indptr[j]; q < a_indptr[j + 1]; ++q) {
+              const int32_t l = a_indices[q];
+              if (l == j) continue;
+              const double ajl = a_data[q];
+              if (sgn * ajl >= 0) continue;
+              if (marker[l] <= -2) denom += ajl;
+            }
+            if (denom == 0.0) {
+              d += aij;
+            } else {
+              const double dist = aij / denom;
+              for (int64_t q = a_indptr[j]; q < a_indptr[j + 1]; ++q) {
+                const int32_t l = a_indices[q];
+                if (l == j) continue;
+                const double ajl = a_data[q];
+                if (sgn * ajl >= 0) continue;
+                if (marker[l] <= -2) acc[-marker[l] - 2] += dist * ajl;
+              }
+            }
+          } else if (cf[j] != SF_PT) {
+            d += aij;
+          }
+        }
+        const double inv = (d != 0.0) ? (-1.0 / d) : 1.0;
+        for (size_t s = 0; s < patt.size(); ++s) {
+          p_indices[w0 + (int64_t)s] = cmap[patt[s]];
+          p_data[w0 + (int64_t)s] = acc[s] * inv;
+          marker[patt[s]] = i;
+        }
+        continue;
+      }
+
+      // ---- standard: eliminate strong-F rows into ahat ----
+      // C slots live in acc[]; F slots in facc[] (slot 0 = i itself,
+      // matching hypre's first-F-slot-is-i convention so "diagonal"
+      // picks up elimination feedback onto i)
+      fpnt.clear();
+      facc.clear();
+      fslot[i] = 0;
+      fpnt.push_back((int32_t)i);
+      facc.push_back(diag[i]);
+      auto add_at = [&](int32_t k, double v, bool from_elim) {
+        if (marker[k] <= -2) {
+          acc[-marker[k] - 2] += v;
+        } else if (from_elim || cf[k] != SF_PT) {
+          if (fslot[k] < 1 || (size_t)fslot[k] >= facc.size() ||
+              fpnt[fslot[k]] != k) {
+            if (k == (int32_t)i) { facc[0] += v; return; }
+            fslot[k] = (int64_t)facc.size();
+            fpnt.push_back(k);
+            facc.push_back(v);
+          } else {
+            facc[fslot[k]] += v;
+          }
+        }
+      };
+      for (int64_t p = b; p < e; ++p) {
+        const int32_t j = a_indices[p];
+        if (j == i) continue;
+        const double aij = a_data[p];
+        if (strong[p] && cf[j] == F_PT) {
+          const double ajj = diag[j];
+          if (ajj != 0.0) {
+            const double dist = aij / ajj;
+            for (int64_t q = a_indptr[j]; q < a_indptr[j + 1]; ++q) {
+              const int32_t k = a_indices[q];
+              if (k == j) continue;
+              add_at(k, -a_data[q] * dist, true);
+            }
+          }
+        } else {
+          add_at(j, aij, false);
+        }
+      }
+      const double d = facc[0];
+      double sum_c = 0.0, sum_all = 0.0;
+      double pos_c = 0.0, neg_c = 0.0, pos = 0.0, neg = 0.0;
+      for (double v : acc) {
+        sum_c += v;
+        if (v > 0) pos_c += v; else neg_c += v;
+      }
+      sum_all = sum_c;
+      pos = pos_c;
+      neg = neg_c;
+      for (size_t s = 1; s < facc.size(); ++s) {
+        sum_all += facc[s];
+        if (facc[s] > 0) pos += facc[s]; else neg += facc[s];
+      }
+      double alfa = 1.0, beta = 1.0;
+      if (sep) {
+        if (neg_c * d != 0.0) alfa = neg / neg_c / d;
+        if (pos_c * d != 0.0) beta = pos / pos_c / d;
+      } else {
+        if (sum_c * d != 0.0) alfa = sum_all / sum_c / d;
+        beta = alfa;
+      }
+      for (size_t s = 0; s < patt.size(); ++s) {
+        p_indices[w0 + (int64_t)s] = cmap[patt[s]];
+        p_data[w0 + (int64_t)s] =
+            (acc[s] > 0) ? -beta * acc[s] : -alfa * acc[s];
+        marker[patt[s]] = i;
+      }
+      for (int32_t k : fpnt) fslot[k] = -1;
+    }
+  }
+  if (pass == 0) {
+    p_indptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) p_indptr[i + 1] += p_indptr[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Interpolation truncation (hypre_ParCSRMatrixTruncate semantics,
 // ref: par_csr_matrix.c:2874): drop entries below trunc_factor *
 // row-max-abs, keep the max_elmts largest by magnitude (stable on

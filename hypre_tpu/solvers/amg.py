@@ -159,6 +159,12 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             from hypre_tpu.setup.interp_ext import extpi_interp
             P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                              strong_mask=strong_mask)
+        elif cfg.interp_type in (0, 8, 9, 14):
+            from hypre_tpu.setup.interp_more import lr_interp
+            P = lr_interp(Al, S, cf, cfg.interp_type,
+                          trunc_factor=cfg.trunc_factor,
+                          max_elmts=cfg.p_max_elmts,
+                          strong_mask=strong_mask)
         else:
             raise ValueError(f"interp_type {cfg.interp_type} not built")
         if cfg.restr_type == 1:

@@ -167,3 +167,54 @@ def test_sabs_strength():
     S_cls = strength_matrix(A, theta=0.25)
     S_abs = strength_matrix(A, theta=0.25, abs_soc=True)
     assert S_abs.nnz >= S_cls.nnz
+
+
+def test_lr_interp_native_python_parity():
+    # classical (0) / extended (14) / standard (8, 9) native kernel vs
+    # the per-row python twin (ref: par_interp.c:15, par_lr_interp.c:22,
+    # :4777)
+    import numpy as np
+
+    from hypre_tpu.csrc import build as native
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.setup.coarsen import pmis
+    from hypre_tpu.setup.interp_more import _lr_interp_py
+    from hypre_tpu.setup.strength import strength_matrix
+
+    A = laplacian(10, 10, 10).tocsr()
+    A.sort_indices()
+    S, mask = strength_matrix(A, 0.25, 0.9, return_mask=True)
+    cf = pmis(S)
+    cmap = np.cumsum(cf == 1) - 1
+    for variant in (0, 14, 8, 9):
+        Pn = native.lr_interp(A, mask, cf, cmap, variant)
+        Pp = _lr_interp_py(A, mask, cf, cmap, variant)
+        assert Pn.shape == Pp.shape
+        assert np.abs((Pn - Pp).toarray()).max() < 1e-12
+
+
+def test_lr_interp_patterns_nest():
+    # classical is distance-1; extended/standard share the distance-2
+    # pattern of ext+i
+    import numpy as np
+
+    from hypre_tpu.csrc import build as native
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.setup.coarsen import pmis
+    from hypre_tpu.setup.strength import strength_matrix
+
+    A = laplacian(12, 12, 12).tocsr()
+    A.sort_indices()
+    S, mask = strength_matrix(A, 0.25, 0.9, return_mask=True)
+    cf = pmis(S)
+    cmap = np.cumsum(cf == 1) - 1
+    P0 = native.lr_interp(A, mask, cf, cmap, 0)
+    P14 = native.lr_interp(A, mask, cf, cmap, 14)
+    P8 = native.lr_interp(A, mask, cf, cmap, 8)
+    assert P0.nnz <= P14.nnz
+    assert (P14 != 0).multiply(P8 != 0).nnz == P8.nnz  # same pattern
+    # classical rows interpolate constants exactly on interior rows of
+    # a zero-row-sum operator region: row sums near 1 for F rows with
+    # all-strong C neighborhoods is not guaranteed globally; just check
+    # finite + nonzero
+    assert np.isfinite(P0.data).all() and np.isfinite(P8.data).all()

@@ -46,6 +46,10 @@ def load():
             ctypes.c_int64, _i64p, _i32p, _f64p,
             ctypes.c_double, ctypes.c_double, ctypes.c_int32, _u8p]
         lib.pmis.argtypes = [ctypes.c_int64, _i64p, _i32p, _f64p, _i32p]
+        lib.cljp.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _f64p, _i32p, ctypes.c_int32]
+        lib.rs_second_pass.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _i32p]
         lib.direct_interp.argtypes = [
             ctypes.c_int64, ctypes.c_int32, _i64p, _i32p, _f64p, _u8p,
             _i32p, _i32p, _i64p, _i32p, _f64p]
@@ -89,7 +93,8 @@ def load():
                    "direct_interp", "extpi_interp", "truncate_interp",
                    "spgemm", "csr_transpose", "stencil_csr",
                    "mask_to_csr", "gs_wavefronts", "gstell_pack",
-                   "l1_norms", "pmis_measure", "lr_interp"):
+                   "l1_norms", "pmis_measure", "lr_interp",
+                   "cljp", "rs_second_pass"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -143,6 +148,37 @@ def pmis(S, measure: np.ndarray) -> np.ndarray:
     lib.pmis(n, _p(indptr, _i64p), _p(indices, _i32p),
              _p(meas, _f64p), _p(cf, _i32p))
     return cf
+
+
+def cljp(S, measure, cf_init_marker=None):
+    """CLJP coarsening (cf_init_marker: existing C/F seed = Falgout)."""
+    lib = load()
+    n = S.shape[0]
+    indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    meas = np.ascontiguousarray(measure, dtype=np.float64).copy()
+    if cf_init_marker is None:
+        cf = np.zeros(n, dtype=np.int32)
+        init = 0
+    else:
+        cf = np.ascontiguousarray(cf_init_marker, dtype=np.int32).copy()
+        init = 1
+    lib.cljp(n, _p(indptr, _i64p), _p(indices, _i32p),
+             _p(meas, _f64p), _p(cf, _i32p), init)
+    return cf
+
+
+def rs_second_pass(S, cf):
+    """Classical RS second pass (F-F common-C enforcement), in place
+    on a copy."""
+    lib = load()
+    n = S.shape[0]
+    indptr = np.ascontiguousarray(S.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(S.indices, dtype=np.int32)
+    out = np.ascontiguousarray(cf, dtype=np.int32).copy()
+    lib.rs_second_pass(n, _p(indptr, _i64p), _p(indices, _i32p),
+                       _p(out, _i32p))
+    return out
 
 
 def _interp_two_pass(fn_name, A, strong, cf, cmap, extra=(), lead=()):

@@ -112,6 +112,188 @@ void rs_first_pass(int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// CLJP coarsening, single-rank semantics of hypre_BoomerAMGCoarsen
+// (ref: par_coarsen.c:93-1390): iterative independent-set selection
+// with the two CLJP heuristics (C-points remove their S edges and
+// decrement neighbor measures; F/unassigned points drop edges to
+// neighbors that share a common-C dependency, decrementing measures).
+// cf_init = 1 runs the Falgout variant: the caller passes cf with an
+// existing C/F splitting (Ruge-Stüben first pass); its C points seed
+// the first round's independent set (F points rejoin the graph).
+// measure: ST-degree + deterministic hash (caller-provided); modified.
+// ---------------------------------------------------------------------------
+void cljp(int64_t n, const int64_t* s_indptr, const int32_t* s_indices,
+          double* measure, int32_t* cf, int32_t cf_init) {
+  const int64_t nnz = s_indptr[n];
+  std::vector<int64_t> sj(s_indices, s_indices + nnz);  // sign-removable
+  std::vector<int64_t> graph;
+  graph.reserve(n);
+  constexpr int32_t COMMON_C = 2;
+
+  if (cf_init == 1) {
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] == SF_PT) {
+        measure[i] = 0;
+        continue;
+      }
+      if (cf[i] == F_PT) cf[i] = 0;
+      graph.push_back(i);
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i) {
+      if (cf[i] == SF_PT) {
+        measure[i] = 0;
+        continue;
+      }
+      cf[i] = 0;
+      if (s_indptr[i + 1] == s_indptr[i]) {
+        cf[i] = SF_PT;
+        measure[i] = 0;
+      } else {
+        graph.push_back(i);
+      }
+    }
+  }
+  int64_t graph_size = (int64_t)graph.size();
+  int64_t iter = 0;
+
+  while (true) {
+    // ---- set F points / drop assigned from graph ----
+    if (iter || cf_init != 1) {
+      for (int64_t ig = 0; ig < graph_size; ++ig) {
+        const int64_t i = graph[ig];
+        if (cf[i] != C_PT && measure[i] < 1) {
+          cf[i] = F_PT;
+          for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+            if (sj[p] > -1) { cf[i] = 0; break; }
+        }
+        if (cf[i]) {
+          measure[i] = 0;
+          --graph_size;
+          graph[ig] = graph[graph_size];
+          graph[graph_size] = i;
+          --ig;
+        }
+      }
+    }
+    if (graph_size == 0) break;
+
+    // ---- independent set among measure > 1 (all original edges) ----
+    if (iter || cf_init != 1) {
+      for (int64_t ig = 0; ig < graph_size; ++ig) {
+        const int64_t i = graph[ig];
+        if (measure[i] > 1) cf[i] = 1;
+      }
+      for (int64_t ig = 0; ig < graph_size; ++ig) {
+        const int64_t i = graph[ig];
+        if (measure[i] <= 1) continue;
+        for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+          int64_t j = sj[p];
+          if (j < 0) j = -j - 1;
+          if (measure[j] > 1) {
+            if (measure[i] > measure[j]) cf[j] = 0;
+            else if (measure[j] > measure[i]) cf[i] = 0;
+          }
+        }
+      }
+    }
+    ++iter;
+
+    // ---- set C points and apply the heuristics ----
+    for (int64_t ig = 0; ig < graph_size; ++ig) {
+      const int64_t i = graph[ig];
+      if (cf[i] > 0) {
+        cf[i] = C_PT;
+        for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+          const int64_t j = sj[p];
+          if (j > -1) {
+            sj[p] = -j - 1;
+            if (!cf[j]) measure[j] -= 1.0;
+          }
+        }
+      } else {
+        // mark C dependencies of i as COMMON_C; drop edges to C/SF
+        for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+          int64_t j = sj[p];
+          if (j < 0) j = -j - 1;
+          if (cf[j] > 0) {
+            if (sj[p] > -1) sj[p] = -sj[p] - 1;
+            cf[j] = COMMON_C;
+          } else if (cf[j] == SF_PT) {
+            if (sj[p] > -1) sj[p] = -sj[p] - 1;
+          }
+        }
+        // drop edges to unassigned j that depend on a COMMON_C
+        for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+          if (sj[p] <= -1) continue;
+          const int64_t j = sj[p];
+          for (int64_t q = s_indptr[j]; q < s_indptr[j + 1]; ++q) {
+            int64_t k = sj[q];
+            if (k < 0) k = -k - 1;
+            if (cf[k] == COMMON_C) {
+              sj[p] = -sj[p] - 1;
+              measure[j] -= 1.0;
+              break;
+            }
+          }
+        }
+        // reset COMMON_C back to C
+        for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+          int64_t j = sj[p];
+          if (j < 0) j = -j - 1;
+          if (cf[j] == COMMON_C) cf[j] = C_PT;
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Ruge-Stüben second pass, single-rank semantics (ref:
+// par_coarsen.c:1400-1640, coarsen_type 1 interior branch): every
+// strong F-F pair must share a common C; violations tentatively
+// promote the neighbor (ci_tilde) and re-examine, or promote i itself.
+// ---------------------------------------------------------------------------
+void rs_second_pass(int64_t n, const int64_t* s_indptr,
+                    const int32_t* s_indices, int32_t* cf) {
+  std::vector<int64_t> graph(n, -1);
+  int64_t ci_tilde = -1, ci_tilde_mark = -1;
+  int32_t C_i_nonempty = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (ci_tilde_mark != i) ci_tilde = -1;
+    if (cf[i] != F_PT) continue;
+    for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p)
+      if (cf[s_indices[p]] > 0) graph[s_indices[p]] = i;
+    for (int64_t p = s_indptr[i]; p < s_indptr[i + 1]; ++p) {
+      const int64_t j = s_indices[p];
+      if (cf[j] != F_PT) continue;
+      bool set_empty = true;
+      for (int64_t q = s_indptr[j]; q < s_indptr[j + 1]; ++q) {
+        if (graph[s_indices[q]] == i) { set_empty = false; break; }
+      }
+      if (set_empty) {
+        if (C_i_nonempty) {
+          cf[i] = C_PT;
+          if (ci_tilde > -1) {
+            cf[ci_tilde] = F_PT;
+            ci_tilde = -1;
+          }
+          C_i_nonempty = 0;
+          break;
+        } else {
+          ci_tilde = j;
+          ci_tilde_mark = i;
+          cf[j] = C_PT;
+          C_i_nonempty = 1;
+          --i;
+          break;
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Strength of connection mask (hypre_BoomerAMGCreateS semantics,
 // ref: par_strength.c:230-420).  Writes a 0/1 byte per CSR entry of A.
 // ---------------------------------------------------------------------------

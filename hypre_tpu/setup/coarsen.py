@@ -103,6 +103,50 @@ def pmis(S: sp.csr_matrix, seed: int = 2747,
     return cf.astype(np.int32)
 
 
+def cljp(S: sp.csr_matrix, seed: int = 2747,
+         global_ids: np.ndarray | None = None) -> np.ndarray:
+    """CLJP coarsening (ref: par_coarsen.c:93 hypre_BoomerAMGCoarsen):
+    iterative independent sets with the common-C edge-removal
+    heuristics.  The random part of the measure uses the deterministic
+    global-id hash (same convention as pmis)."""
+    from hypre_tpu.csrc import build as native
+
+    S = S.tocsr()
+    n = S.shape[0]
+    if global_ids is None:
+        global_ids = np.arange(n, dtype=np.int64)
+    measure = native.pmis_measure(S, global_ids, seed)
+    return native.cljp(S, measure)
+
+
+def falgout(S: sp.csr_matrix, seed: int = 2747,
+            global_ids: np.ndarray | None = None) -> np.ndarray:
+    """Falgout coarsening (ref: par_coarsen.c:2062 CoarsenFalgout =
+    Ruge first pass, then CLJP seeded with its C points)."""
+    from hypre_tpu.csrc import build as native
+    from hypre_tpu.csrc.build import rs_first_pass
+
+    S = S.tocsr()
+    n = S.shape[0]
+    cf1 = rs_first_pass(S, S.T.tocsr())
+    if global_ids is None:
+        global_ids = np.arange(n, dtype=np.int64)
+    measure = native.pmis_measure(S, global_ids, seed)
+    return native.cljp(S, measure, cf_init_marker=cf1)
+
+
+def ruge(S: sp.csr_matrix, seed: int = 2747,
+         global_ids: np.ndarray | None = None) -> np.ndarray:
+    """Classical Ruge-Stüben (coarsen_type 1): greedy first pass plus
+    the F-F common-C second pass (ref: par_coarsen.c:911, :1400)."""
+    from hypre_tpu.csrc import build as native
+    from hypre_tpu.csrc.build import rs_first_pass
+
+    S = S.tocsr()
+    cf1 = rs_first_pass(S, S.T.tocsr())
+    return native.rs_second_pass(S, cf1)
+
+
 def hmis(S: sp.csr_matrix, seed: int = 2747,
          global_ids: np.ndarray | None = None) -> np.ndarray:
     """HMIS coarsening (ref: par_coarsen.c:2849 — one-pass Ruge-Stüben

@@ -136,6 +136,11 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                                          cfg.max_row_sum, return_mask=True)
         if cfg.coarsen_type == "hmis":
             cf = hmis(S, seed=cfg.seed)
+        elif cfg.coarsen_type in ("cljp", "falgout", "ruge"):
+            from hypre_tpu.setup.coarsen import cljp, falgout, ruge
+
+            fn = {"cljp": cljp, "falgout": falgout, "ruge": ruge}
+            cf = fn[cfg.coarsen_type](S, seed=cfg.seed)
         else:
             cf = pmis(S, seed=cfg.seed)
         n_coarse = int((cf == C_PT).sum())

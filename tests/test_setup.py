@@ -218,3 +218,46 @@ def test_lr_interp_patterns_nest():
     # all-strong C neighborhoods is not guaranteed globally; just check
     # finite + nonzero
     assert np.isfinite(P0.data).all() and np.isfinite(P8.data).all()
+
+
+def test_cljp_falgout_ruge_valid_splittings():
+    # CLJP (par_coarsen.c:93), Falgout (:2062 = RS + seeded CLJP),
+    # Ruge (:911 + :1400 second pass): valid C/F splittings where every
+    # F point keeps a strong C neighbor
+    import numpy as np
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.setup.coarsen import C_PT, F_PT, cljp, falgout, ruge
+    from hypre_tpu.setup.strength import strength_matrix
+
+    A = laplacian(20, 20).tocsr()
+    S = strength_matrix(A).tocsr()
+    for fn in (cljp, falgout, ruge):
+        cf = fn(S)
+        assert (cf == C_PT).sum() > 0
+        for i in np.flatnonzero(cf == F_PT):
+            nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
+            assert (cf[nbrs] == C_PT).any(), (fn.__name__, i)
+
+
+def test_ruge_second_pass_enforces_common_c():
+    # after the second pass, every strong F-F pair shares a common C
+    # in the union of their strong C sets as seen from the F row
+    import numpy as np
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.setup.coarsen import C_PT, F_PT, ruge
+    from hypre_tpu.setup.strength import strength_matrix
+
+    A = laplacian(16, 16, 16).tocsr()
+    S = strength_matrix(A).tocsr()
+    cf = ruge(S)
+    for i in np.flatnonzero(cf == F_PT):
+        ci = set(S.indices[S.indptr[i]:S.indptr[i + 1]][
+            cf[S.indices[S.indptr[i]:S.indptr[i + 1]]] == C_PT])
+        for j in S.indices[S.indptr[i]:S.indptr[i + 1]]:
+            if cf[j] != F_PT:
+                continue
+            cj = set(S.indices[S.indptr[j]:S.indptr[j + 1]][
+                cf[S.indices[S.indptr[j]:S.indptr[j + 1]]] == C_PT])
+            assert ci & cj, (i, j)

@@ -1,13 +1,18 @@
 """Benchmark driver: BoomerAMG-PCG on the 256^3 7-pt Laplacian.
 
 Mirrors the reference's headline GPU benchmark (TEST_bench out.14:
-256^3, 1 GPU, l1-Jacobi smoothing, PCG; V100 0.706 s setup / 0.580 s
-solve at 20 iterations with ext+i interpolation — see BASELINE.md).
-Runs on the real TPU chip in f32 (the --enable-single analog).
+256^3, 1 GPU, `-rlx 18 -interptype 6 -rap 1`; V100 0.706 s setup /
+0.580 s solve at 20 iterations — see BASELINE.md).  Runs on the real
+TPU chip in f32 (the --enable-single analog; the reference numbers are
+f64 on V100).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline > 1 means faster than the V100 reference solve time.
+
+Honesty rules (round-1 verdict): the SAME problem as the baseline
+(256^3, ext+i interp, l1-Jacobi), setup timed UNCACHED every run, and
+vs_baseline emitted only when the grid actually matches the baseline's
+(null otherwise).  vs_baseline > 1 means faster than the V100 solve.
 """
 from __future__ import annotations
 
@@ -18,11 +23,11 @@ import time
 
 import numpy as np
 
-# 96^3 is the largest configuration whose kernels are all validated on
-# this chip (larger grids need the windowed GST kernel, which currently
-# faults the TPU worker - round-2 fix).  Override via HYPRE_TPU_BENCH_N.
-GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "96"))
-V100_SOLVE_S = 0.580   # TEST_bench/benchmark_ij.perf.saved.lassen:41 (out.14)
+GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "256"))
+# TEST_bench/benchmark_ij.perf.saved.lassen:40-42 (out.14)
+V100_SETUP_S = 0.706
+V100_SOLVE_S = 0.580
+V100_ITERS = 20
 
 
 def main():
@@ -38,30 +43,11 @@ def main():
     A = laplacian(n, n, n, dtype=np.float32)
     t_gen = time.time() - t0
 
-    cfg = AmgConfig()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_cache_n{n}_f32.ckpt")
+    # out.14 config: ext+i interpolation (6), l1-Jacobi (18), PMIS
+    cfg = AmgConfig(interp_type=6, relax_type=18)
     t0 = time.time()
-    amg = None
-    if os.path.exists(cache):
-        from hypre_tpu.core.checkpoint import load_amg
-
-        try:
-            amg = load_amg(cache)
-            t_setup = time.time() - t0
-            setup_cached = True
-        except Exception:
-            amg = None
-    if amg is None:
-        amg = BoomerAMG(cfg).setup(A)
-        t_setup = time.time() - t0
-        setup_cached = False
-        try:
-            from hypre_tpu.core.checkpoint import save_amg
-
-            save_amg(amg, cache)
-        except Exception:
-            pass
+    amg = BoomerAMG(cfg).setup(A)
+    t_setup = time.time() - t0
 
     op = sparse_op_from_scipy(A)
     b = np.ones(A.shape[0], dtype=np.float32)
@@ -70,8 +56,10 @@ def main():
     # rhs (convergence is scaling-invariant so the work is identical)
     # and take the MEDIAN — the remote-execution layer memoizes
     # (executable, input) pairs and a single repeat can report a
-    # fantasy sub-millisecond time.
-    res = pcg(A=op, b=b, M=amg, tol=1e-6, max_iter=100)
+    # fantasy sub-millisecond time.  tol 1e-6: the f32 residual floor
+    # (the reference's 7.9e-9 is an f64 number).
+    tol = 1e-6
+    res = pcg(A=op, b=b, M=amg, tol=tol, max_iter=100)
     jax.block_until_ready(res.x)
     # per-process salt: identical rhs values across runs would hit the
     # remote layer's (executable, input) result cache
@@ -82,7 +70,7 @@ def main():
     for t in range(3):
         bt = b * (salt + np.float32((t + 1) * 0.0137))
         t0 = time.time()
-        res = pcg(A=op, b=bt, M=amg, tol=1e-6, max_iter=100)
+        res = pcg(A=op, b=bt, M=amg, tol=tol, max_iter=100)
         # force a genuine host fetch: on this relay block_until_ready
         # can be satisfied by enqueue alone
         checks.append(float(jnp.vdot(res.x, res.x)))
@@ -92,22 +80,29 @@ def main():
     iters = int(res.iters)
     nnz = A.nnz
     cyc_nnz = nnz * amg.operator_complexity * iters
+    same_problem = (n == 256)
     result = {
         "metric": f"AMG-PCG solve wall, {n}^3 7-pt Laplacian "
-                  f"(1 chip, f32, interp {cfg.interp_type}, rlx 18)",
+                  f"(1 chip, f32, ext+i interp, rlx 18, tol {tol:g})",
         "value": round(t_solve, 4),
         "unit": "s",
-        "vs_baseline": round(V100_SOLVE_S / t_solve, 3),
+        "vs_baseline": (round(V100_SOLVE_S / t_solve, 3)
+                        if same_problem else None),
         "extra": {
             "iters": iters,
             "relres": float(res.relres),
-            "setup_host_s": round(t_setup, 2),
-            "setup_from_cache": setup_cached,
+            "setup_s": round(t_setup, 2),
+            "setup_vs_baseline": (round(V100_SETUP_S / t_setup, 4)
+                                  if same_problem else None),
             "gen_s": round(t_gen, 2),
+            "per_iter_ms": round(t_solve / max(iters, 1) * 1e3, 2),
+            "solve_at_v100_iters_s": round(
+                t_solve / max(iters, 1) * V100_ITERS, 4),
             "levels": amg.level_sizes,
             "operator_complexity": round(amg.operator_complexity, 3),
             "approx_cycle_gnnz_per_s": round(cyc_nnz / t_solve / 1e9, 2),
-            "baseline": "V100 out.14 solve 0.580s (ext+i, 20 iters)",
+            "baseline": ("V100 out.14 (256^3, ext+i, f64): "
+                         "setup 0.706s, solve 0.580s @ 20 iters"),
         },
     }
     print(json.dumps(result))

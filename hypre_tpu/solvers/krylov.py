@@ -27,8 +27,31 @@ class PcgResult(NamedTuple):
     relres: jax.Array
 
 
+def make_reducers(axis_name=None):
+    """(dot, norm) closures: plain jnp on a single chip, psum-reduced
+    over the mesh axis inside shard_map (the MPI_Allreduce analog,
+    ref: src/parcsr_mv/par_vector.c:513).  Threading these through the
+    Krylov templates is the TPU form of hypre's vtable indirection
+    (ref: src/krylov/pcg.h:49-70) — the same solver text runs
+    single-chip and SPMD."""
+    if axis_name is None:
+        def dot(a, b):
+            return jnp.vdot(a, b)
+
+        def norm(a):
+            return jnp.linalg.norm(a)
+    else:
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis_name)
+
+        def norm(a):
+            return jnp.sqrt(jax.lax.psum(jnp.vdot(a, a), axis_name))
+    return dot, norm
+
+
 def pcg(A, b, x0=None, M=None, tol: float = 1e-8,
-        max_iter: int = 1000, atol: float = 0.0) -> PcgResult:
+        max_iter: int = 1000, atol: float = 0.0,
+        axis_name: str | None = None) -> PcgResult:
     """Preconditioned conjugate gradients (ref: src/krylov/pcg.c:318).
 
     A: SparseOp (jit-compiled single-program path) or callable x -> A@x
@@ -47,12 +70,18 @@ def pcg(A, b, x0=None, M=None, tol: float = 1e-8,
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
     h = _as_hierarchy(M)
-    if isinstance(A, SparseOp) and (M is None or h is not None):
+    if isinstance(A, SparseOp) and (M is None or h is not None) \
+            and axis_name is None:
         return _pcg_sparse(A, h, b, x, float(tol), float(atol),
                            int(max_iter), h is not None)
 
     Aop = partial(matvec, A) if isinstance(A, SparseOp) else A
     Mop = M if M is not None else (lambda r: r)
+    if axis_name is not None:
+        # inside shard_map: no nested jit (the enclosing program is
+        # already being traced), collective reductions
+        return _pcg_loop(Aop, Mop, b, x, float(tol), float(atol),
+                         int(max_iter), axis_name)
     # jit the whole loop even for ad-hoc callables: eager while_loop
     # execution has shown memory-corruption crashes in XLA:CPU, and
     # compiled is what we want anyway (re-traces per call)
@@ -81,32 +110,35 @@ def _pcg_sparse(A, h, b, x, tol, atol, max_iter, use_amg):
     return _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter)
 
 
-def _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter):
-    bi_prod = jnp.vdot(b, b)
-    bnorm = jnp.sqrt(bi_prod)
+def _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter, axis_name=None):
+    dot, norm = make_reducers(axis_name)
+    bnorm = norm(b)
     safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
 
     r0 = b - Aop(x)
     z0 = Mop(r0)
     p0 = z0
-    gamma0 = jnp.vdot(r0, z0)
-    rnorm0 = jnp.sqrt(jnp.vdot(r0, r0))
+    gamma0 = dot(r0, z0)
+    rnorm0 = norm(r0)
 
     def cond(state):
         x, r, p, gamma, it, rnorm = state
-        return (it < max_iter) & (rnorm / safe_b > tol) & (rnorm > atol)
+        # isfinite: the NaN/Inf guard of par_amg_solve.c:208 — stop
+        # iterating instead of spinning to max_iter on a blown-up state
+        return ((it < max_iter) & (rnorm / safe_b > tol)
+                & (rnorm > atol) & jnp.isfinite(rnorm))
 
     def body(state):
         x, r, p, gamma, it, _ = state
         s = Aop(p)
-        alpha = gamma / jnp.vdot(p, s)
+        alpha = gamma / dot(p, s)
         x = x + alpha * p
         r = r - alpha * s
         z = Mop(r)
-        gamma_new = jnp.vdot(r, z)
+        gamma_new = dot(r, z)
         beta = gamma_new / gamma
         p = z + beta * p
-        rnorm = jnp.sqrt(jnp.vdot(r, r))
+        rnorm = norm(r)
         return x, r, p, gamma_new, it + 1, rnorm
 
     state = (x, r0, p0, gamma0, jnp.int32(0), rnorm0)

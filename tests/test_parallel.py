@@ -91,3 +91,76 @@ def test_par_amg_pcg_matches_single_chip():
     amg = BoomerAMG(AmgConfig()).setup(A)
     res = pcg(A=sparse_op_from_scipy(A), b=b, M=amg, tol=1e-8, max_iter=200)
     assert int(res.iters) == iters
+
+
+def _both_iters(cfg, method="pcg", n=(12, 12, 12), tol=1e-8, **kw):
+    """Run distributed and single-chip with the same config; return
+    (par_iters, seq_iters, par_relres)."""
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import BoomerAMG, pcg
+    from hypre_tpu.solvers import krylov_more
+
+    A = laplacian(*n)
+    b = np.ones(A.shape[0])
+    pamg = ParBoomerAMG(mesh8(), cfg).setup(A)
+    x, it_p, rel_p = pamg.solve(b, method=method, tol=tol,
+                                max_iter=300, **kw)
+    true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-6
+
+    amg = BoomerAMG(cfg).setup(A)
+    op = sparse_op_from_scipy(A)
+    if method == "pcg":
+        res = pcg(A=op, b=b, M=amg, tol=tol, max_iter=300)
+    else:
+        fn = getattr(krylov_more, method)
+        h = amg.hierarchy
+        from hypre_tpu.solvers.amg import amg_cycle
+        res = fn(op, b, M=lambda r: amg_cycle(h, r), tol=tol,
+                 max_iter=300, **kw)
+    return it_p, int(res.iters), rel_p
+
+
+def test_par_hybrid_gs_matches_single_chip():
+    # hybrid l1-GS (relax 13): per-shard exact triangular solve.  The
+    # single-chip run IS the 1-rank case, so counts differ slightly
+    # (8 ranks lag the offd); both must converge, mesh path <= +4.
+    cfg = AmgConfig(relax_type=13)
+    it_p, it_s, rel = _both_iters(cfg)
+    assert rel <= 1e-8
+    assert it_p <= it_s + 4
+
+
+def test_par_chebyshev_matches_single_chip():
+    cfg = AmgConfig(relax_type=16)
+    it_p, it_s, rel = _both_iters(cfg)
+    assert rel <= 1e-8
+    assert it_p == it_s   # Chebyshev is rank-count independent
+
+
+def test_par_wcycle_matches_single_chip():
+    cfg = AmgConfig(cycle_type="W")
+    it_p, it_s, rel = _both_iters(cfg)
+    assert rel <= 1e-8
+    assert it_p == it_s
+
+
+def test_par_gmres_matches_single_chip():
+    cfg = AmgConfig()
+    it_p, it_s, rel = _both_iters(cfg, method="gmres")
+    assert rel <= 1e-8
+    assert it_p == it_s
+
+
+def test_par_bicgstab_matches_single_chip():
+    cfg = AmgConfig()
+    it_p, it_s, rel = _both_iters(cfg, method="bicgstab")
+    assert rel <= 1e-8
+    assert it_p == it_s
+
+
+def test_par_cf_relax_order():
+    cfg = AmgConfig(relax_order=1)
+    it_p, it_s, rel = _both_iters(cfg)
+    assert rel <= 1e-8
+    assert it_p == it_s

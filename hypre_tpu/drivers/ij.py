@@ -61,6 +61,15 @@ def build_parser():
     p.add_argument("-max_iter", type=int, default=1000)
     p.add_argument("-mg_max_iter", type=int, default=100)
     p.add_argument("-k", type=int, default=5, dest="k_dim")
+    p.add_argument("-additive", type=int, default=-1,
+                   help="first additive-cycle level (par_add_cycle.c)")
+    p.add_argument("-mult_add", type=int, default=-1, dest="mult_add",
+                   help="mult-additive variant (same composite here)")
+    p.add_argument("-simple", type=int, default=-1,
+                   help="simple additive variant (1/diag weights)")
+    p.add_argument("-add_end", type=int, default=-1, dest="add_last_lvl")
+    p.add_argument("-nongalerk_tol", nargs="+", type=float, default=None,
+                   help="<ntol> <tol list>: non-Galerkin drop tolerances")
     p.add_argument("-agg_nl", type=int, default=0, dest="agg_num_levels")
     p.add_argument("-agg_interp", type=int, default=4,
                    dest="agg_interp_type")
@@ -158,6 +167,10 @@ def main(argv=None):
         relax_order=args.relax_order,
         agg_num_levels=args.agg_num_levels,
         agg_interp_type=args.agg_interp_type, num_paths=args.num_paths,
+        additive=max(args.additive, args.mult_add),
+        simple=args.simple, add_last_lvl=args.add_last_lvl,
+        nongalerk_tol=(tuple(args.nongalerk_tol[1:])
+                       if args.nongalerk_tol else ()),
         seed=args.seed,
     )
 

@@ -52,6 +52,16 @@ class AmgConfig:
     agg_interp_type: int = 4          # multipass (par_amg.c:194)
     num_paths: int = 1
     restr_type: int = 0               # 0: R=P^T; 1: distance-1 lAIR
+    # non-Galerkin sparsification (HYPRE_BoomerAMGSetNonGalerkinTol,
+    # ref: par_nongalerkin.c:1245, applied par_amg_setup.c:2794-2805)
+    nongalerk_tol: tuple = ()         # per-level drop tolerances
+    nongalerk_tol_all: float = 0.0    # tol for levels past the list
+    # additive cycles (HYPRE_BoomerAMGSetAdditive / SetSimple /
+    # SetAddLastLvl; ref: par_add_cycle.c) — levels in
+    # [addlvl, add_last_lvl] get BPX-style additive corrections
+    additive: int = -1                # first additive level; -1 = off
+    simple: int = -1                  # simple variant (1/diag weights)
+    add_last_lvl: int = -1            # -1 = through the coarsest
     seed: int = 2747
     # exact Gauss-Seidel threshold: levels up to this many rows store
     # dense triangular factors so relax 3/4/6/13/14 runs as a TRUE
@@ -70,7 +80,7 @@ class AmgConfig:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
                       "L", "U", "c_mask", "gs_lo", "gs_up",
-                      "gs_wf_lo", "gs_wf_up"],
+                      "gs_wf_lo", "gs_wf_up", "add_dinv"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
@@ -87,12 +97,14 @@ class AmgLevel:
     gs_up: Optional[jax.Array] = None  # dense D+U
     gs_wf_lo: object = None   # WavefrontTriSolve (exact GS, large lvls)
     gs_wf_up: object = None
+    add_dinv: Optional[jax.Array] = None  # additive-cycle weights
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "c_lu", "c_piv"],
          meta_fields=["relax_weight", "num_sweeps", "relax_type",
-                      "cheby_order", "cycle_type", "relax_order"])
+                      "cheby_order", "cycle_type", "relax_order",
+                      "additive", "simple", "add_last_lvl"])
 @dataclasses.dataclass(frozen=True)
 class AmgHierarchy:
     levels: tuple            # tuple[AmgLevel]
@@ -104,6 +116,9 @@ class AmgHierarchy:
     cheby_order: int = 2
     cycle_type: str = "V"
     relax_order: int = 0
+    additive: int = -1       # first additive level (par_add_cycle.c)
+    simple: int = -1
+    add_last_lvl: int = -1
 
 
 def build_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
@@ -187,12 +202,22 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
 
             if R is None:
                 R = native.csr_transpose(P)
-            Ac = native.spgemm(R, native.spgemm(Al.tocsr(), P))
+            AP = native.spgemm(Al.tocsr(), P)
+            Ac = native.spgemm(R, AP)
         else:
             if R is None:
                 R = P.T.tocsr()
-            Ac = (R @ Al @ P).tocsr()
+            AP = (Al @ P).tocsr()
+            Ac = (R @ AP).tocsr()
             Ac.sort_indices()
+        tol_l = (cfg.nongalerk_tol[_level]
+                 if _level < len(cfg.nongalerk_tol)
+                 else cfg.nongalerk_tol_all)
+        if tol_l > 0.0 and cfg.restr_type == 0:
+            from hypre_tpu.setup.nongalerkin import \
+                nongalerkin_coarse_operator
+            Ac = nongalerkin_coarse_operator(
+                Ac, AP, cf, tol_l, cfg.strong_threshold, cfg.max_row_sum)
         yield (Al, P, R, cf)
         Al = Ac
     yield Al
@@ -285,6 +310,7 @@ class BoomerAMG:
             Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
         if cfg.relax_order:
             cmask = jnp.asarray((cfm == C_PT).astype(real))
+        add_dinv = self._additive_dinv(Ah, real)
         return AmgLevel(
             A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
             P=sparse_op_from_scipy(Ph, prefer_dia=False),
@@ -292,16 +318,31 @@ class BoomerAMG:
             dinv=jnp.asarray(dinv.astype(real)),
             cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
             c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
-            gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up,
+            gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up, add_dinv=add_dinv,
         )
+
+    def _additive_dinv(self, Ah, real):
+        """Additive-cycle correction weights (ref: par_add_cycle.c:
+        218-247): l1-Jacobi weights for the additive/mult-additive
+        variants, plain 1/diag for `simple`."""
+        cfg = self.config
+        if cfg.additive < 0 and cfg.simple < 0:
+            return None
+        if cfg.simple >= 0:
+            d = Ah.diagonal()
+            return jnp.asarray((1.0 / np.where(d != 0, d, 1.0))
+                               .astype(real))
+        return jnp.asarray((1.0 / l1_norms(Ah, 1)).astype(real))
 
     def _finish_setup(self, levels_host, dev_levels, Al, n_fine_nnz):
         cfg = self.config
+        real = get_config().np_real
         # coarsest level
         dev_levels = list(dev_levels)
         dev_levels.append(AmgLevel(
             A=sparse_op_from_scipy(Al, prefer_dia=cfg.prefer_dia),
-            P=None, R=None, dinv=None))
+            P=None, R=None, dinv=None,
+            add_dinv=self._additive_dinv(Al, real)))
         dense = jnp.asarray(Al.toarray().astype(get_config().np_real))
         c_lu, c_piv = jax.scipy.linalg.lu_factor(dense)
 
@@ -309,7 +350,9 @@ class BoomerAMG:
             levels=tuple(dev_levels), c_lu=c_lu, c_piv=c_piv,
             relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps,
             relax_type=cfg.relax_type, cheby_order=cfg.cheby_order,
-            cycle_type=cfg.cycle_type, relax_order=cfg.relax_order)
+            cycle_type=cfg.cycle_type, relax_order=cfg.relax_order,
+            additive=cfg.additive, simple=cfg.simple,
+            add_last_lvl=cfg.add_last_lvl)
 
         self.level_sizes = [l[0].shape[0] for l in levels_host] + [Al.shape[0]]
         self.level_nnz = [l[0].nnz for l in levels_host] + [Al.nnz]
@@ -464,7 +507,58 @@ def amg_cycle(h: AmgHierarchy, f: jax.Array) -> jax.Array:
     the (static) level list — the XLA equivalent of the nonrecursive
     lev_counter cycle driver (ref: par_cycle.c:23,194-226).  V by
     default; W (mu=2) and F cycles unroll recursively."""
+    if h.additive >= 0 or h.simple >= 0:
+        return _additive_cycle(h, f)
     return _cycle_at(h, 0, f, h.cycle_type)
+
+
+def _additive_cycle(h: AmgHierarchy, f: jax.Array) -> jax.Array:
+    """BPX-style (mult-)additive cycle (ref: par_add_cycle.c:22):
+    levels in [addlvl, add_end] restrict the raw residual down with NO
+    smoothing update, receive ONE diagonal-scaled correction
+    (l1-Jacobi weights; 1/diag for the `simple` variant), and the
+    corrections are summed through prolongation on the way up.  Levels
+    outside the range behave multiplicatively.  The coarsest level in
+    the additive range is smoothed, not solved directly, matching the
+    reference's composite Lambda operator."""
+    levels = h.levels
+    nl = len(levels)
+    addlvl = max(h.additive if h.additive >= 0 else h.simple, 0)
+    add_end = h.add_last_lvl if h.add_last_lvl >= 0 else nl - 1
+    w, ns = h.relax_weight, h.num_sweeps
+
+    us, fs = [], [f]
+    for l in range(nl - 1):
+        lvl = levels[l]
+        if l < addlvl or l > add_end:
+            u = _relax(lvl, h.relax_type, w, fs[l], None, ns,
+                       h.cheby_order, h.relax_order, up=False)
+            r = fs[l] - matvec(lvl.A, u)
+        else:
+            u = None
+            r = fs[l]
+        us.append(u)
+        fs.append(matvec(lvl.R, r))
+
+    # coarsest
+    if addlvl <= nl - 1 <= add_end:
+        lvl_c = levels[-1]
+        dinv_c = lvl_c.add_dinv
+        uc = w * dinv_c * fs[-1]
+    else:
+        uc = jax.scipy.linalg.lu_solve((h.c_lu, h.c_piv), fs[-1])
+
+    for l in range(nl - 2, -1, -1):
+        lvl = levels[l]
+        if l < addlvl or l > add_end:
+            u = us[l] + matvec(lvl.P, uc)
+            u = _relax(lvl, h.relax_type, w, fs[l], u, ns,
+                       h.cheby_order, h.relax_order, up=True)
+        else:
+            dinv_a = lvl.add_dinv if lvl.add_dinv is not None else lvl.dinv
+            u = w * dinv_a * fs[l] + matvec(lvl.P, uc)
+        uc = u
+    return uc
 
 
 def _cycle_at(h: AmgHierarchy, l: int, f, ctype: str):

@@ -89,12 +89,17 @@ def load():
         lib.csr_transpose.argtypes = [
             ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _f64p,
             _i64p, _i32p, _f64p]
+        lib.ilu_factor.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _f64p,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            _i64p, _i32p, _f64p, _i64p, _i32p, _f64p]
         for fn in ("rs_first_pass", "strength_mask", "pmis",
                    "direct_interp", "extpi_interp", "truncate_interp",
                    "spgemm", "csr_transpose", "stencil_csr",
                    "mask_to_csr", "gs_wavefronts", "gstell_pack",
                    "l1_norms", "pmis_measure", "lr_interp",
-                   "cljp", "rs_second_pass"):
+                   "cljp", "rs_second_pass", "ilu_factor"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -292,6 +297,54 @@ def csr_transpose(A):
                       _p(data, _f64p), _p(t_indptr, _i64p),
                       _p(t_indices, _i32p), _p(t_data, _f64p))
     return sp.csr_matrix((t_data, t_indices, t_indptr), shape=(m, n))
+
+
+_ilu_lock = threading.Lock()
+
+
+def ilu_factor(A, fill_k: int = 0, drop_tol: float = 0.0,
+               max_keep: int = 1000, is_ilut: bool = False):
+    """ILU(k) / ILUT factorization of CSR A (ref: src/parcsr_ls/
+    par_ilu_setup.c hypre_ILUSetupILUK / hypre_ILUSetupILUT).
+
+    Returns (L, udiag, U): L strict-lower CSR (unit diagonal implied),
+    udiag the pivot array, U strict-upper CSR."""
+    import scipy.sparse as sp
+
+    lib = load()
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    indptr, indices, data = _csr_arrays(A)
+    l_indptr = np.zeros(n + 1, dtype=np.int64)
+    u_indptr = np.zeros(n + 1, dtype=np.int64)
+    with _ilu_lock:
+        lib.ilu_factor(n, _p(indptr, _i64p), _p(indices, _i32p),
+                       _p(data, _f64p), fill_k, drop_tol, max_keep,
+                       1 if is_ilut else 0, 0,
+                       _p(l_indptr, _i64p), _i32p(), _f64p(),
+                       _p(u_indptr, _i64p), _i32p(), _f64p())
+        l_nnz = int(l_indptr[n])
+        u_nnz = int(u_indptr[n])
+        l_indices = np.zeros(l_nnz, dtype=np.int32)
+        l_data = np.zeros(l_nnz, dtype=np.float64)
+        u_indices = np.zeros(u_nnz, dtype=np.int32)
+        u_data = np.zeros(u_nnz, dtype=np.float64)
+        lib.ilu_factor(n, _p(indptr, _i64p), _p(indices, _i32p),
+                       _p(data, _f64p), fill_k, drop_tol, max_keep,
+                       1 if is_ilut else 0, 1,
+                       _p(l_indptr, _i64p), _p(l_indices, _i32p),
+                       _p(l_data, _f64p), _p(u_indptr, _i64p),
+                       _p(u_indices, _i32p), _p(u_data, _f64p))
+    L = sp.csr_matrix((l_data, l_indices, l_indptr), shape=(n, n))
+    # U rows store the pivot first, then the sorted strict upper part
+    udiag = u_data[u_indptr[:-1]].copy()
+    keep = np.ones(u_nnz, dtype=bool)
+    keep[u_indptr[:-1]] = False
+    su_indptr = (u_indptr - np.arange(n + 1)).astype(np.int64)
+    U = sp.csr_matrix((u_data[keep], u_indices[keep], su_indptr),
+                      shape=(n, n))
+    return L, udiag, U
 
 
 def stencil_csr(shape, entries, dtype):

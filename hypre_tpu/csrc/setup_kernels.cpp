@@ -1489,4 +1489,167 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   if (!ok_loc) plan[0] = 0;
 }
 
+// ---------------------------------------------------------------------------
+// ILU(k) / ILUT row factorization (IKJ with dual dropping).
+// Independent implementation of the operator semantics of hypre's
+// host ILU setup (ref: src/parcsr_ls/par_ilu_setup.c:15,
+// hypre_ILUSetupILUK / hypre_ILUSetupILUT): row i is scattered into a
+// dense work array, eliminated against previous U rows in ascending
+// pivot order, then split/dropped into strict-L (unit diagonal
+// implied) and U (diagonal first kept always).
+//   is_ilut = 0: level-of-fill dropping, lev(fill) = lev(ik)+lev(kj)+1
+//               kept when <= fill_k (classic ILU(k) symbolic+numeric).
+//   is_ilut = 1: value dropping at drop_tol * avg|row| and keep the
+//               max_keep largest per L/U part (Saad's dual threshold).
+// Sequential over rows (true data dependence); stash pattern: pass 0
+// factorizes and writes both indptr arrays, pass 1 copies out.
+// ---------------------------------------------------------------------------
+namespace {
+struct IluStash {
+  std::vector<int32_t> l_ind, u_ind;
+  std::vector<double> l_val, u_val;
+  std::vector<int16_t> u_lev;  // fill levels of U entries (ILU(k))
+  std::vector<int64_t> l_ptr, u_ptr;
+};
+IluStash g_ilu;
+}  // namespace
+
+extern "C" void ilu_factor(int64_t n, const int64_t* indptr,
+                           const int32_t* indices, const double* data,
+                           int32_t fill_k, double drop_tol,
+                           int32_t max_keep, int32_t is_ilut, int32_t pass,
+                           int64_t* l_indptr, int32_t* l_indices,
+                           double* l_data, int64_t* u_indptr,
+                           int32_t* u_indices, double* u_data) {
+  if (pass == 1) {
+    std::copy(g_ilu.l_ind.begin(), g_ilu.l_ind.end(), l_indices);
+    std::copy(g_ilu.l_val.begin(), g_ilu.l_val.end(), l_data);
+    std::copy(g_ilu.u_ind.begin(), g_ilu.u_ind.end(), u_indices);
+    std::copy(g_ilu.u_val.begin(), g_ilu.u_val.end(), u_data);
+    g_ilu = IluStash();
+    return;
+  }
+  g_ilu = IluStash();
+  g_ilu.l_ptr.assign(1, 0);
+  g_ilu.u_ptr.assign(1, 0);
+
+  std::vector<double> w(n, 0.0);         // dense work row
+  std::vector<int16_t> lev(n, -1);       // fill level per work entry
+  std::vector<uint8_t> in_row(n, 0);
+  std::vector<int32_t> jw;               // pattern of current row
+  std::vector<int32_t> lpart, upart;     // split pattern scratch
+  const int16_t KMAX = 30000;
+
+  for (int64_t i = 0; i < n; ++i) {
+    jw.clear();
+    double rownorm = 0.0;
+    int64_t rownnz = indptr[i + 1] - indptr[i];
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int32_t j = indices[p];
+      w[j] = data[p];
+      lev[j] = 0;
+      in_row[j] = 1;
+      jw.push_back(j);
+      rownorm += std::fabs(data[p]);
+    }
+    const double tau =
+        is_ilut ? drop_tol * (rownorm / std::max<int64_t>(rownnz, 1)) : 0.0;
+    if (!in_row[i]) {  // ensure a diagonal slot
+      w[i] = 0.0; lev[i] = 0; in_row[i] = 1; jw.push_back((int32_t)i);
+    }
+
+    // eliminate against previous rows, ascending pivot order (min-heap
+    // over the not-yet-processed L-part columns; fills can add new ones)
+    std::vector<int32_t> heap;
+    for (int32_t j : jw) if (j < i) heap.push_back(j);
+    std::make_heap(heap.begin(), heap.end(), std::greater<int32_t>());
+    lpart.clear();
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end(), std::greater<int32_t>());
+      const int32_t k = heap.back();
+      heap.pop_back();
+      const int16_t lev_ik = lev[k];
+      // u_val[u_ptr[k]] is the pivot (diagonal stored first in U rows)
+      const int64_t ub = g_ilu.u_ptr[k], ue = g_ilu.u_ptr[k + 1];
+      const double piv = g_ilu.u_val[ub];
+      double lik = w[k] / piv;
+      if (is_ilut && std::fabs(lik) < tau) {  // drop small multiplier
+        w[k] = 0.0; in_row[k] = 0; lev[k] = -1;
+        continue;
+      }
+      w[k] = lik;
+      lpart.push_back(k);
+      for (int64_t p = ub + 1; p < ue; ++p) {
+        const int32_t j = g_ilu.u_ind[p];
+        const int16_t fl = is_ilut
+            ? (int16_t)0
+            : (int16_t)std::min<int32_t>(
+                  lev_ik + (int32_t)g_ilu.u_lev[p] + 1, KMAX);
+        if (!in_row[j]) {
+          if (!is_ilut && fl > fill_k) continue;  // symbolic drop
+          w[j] = -lik * g_ilu.u_val[p];
+          lev[j] = fl;
+          in_row[j] = 1;
+          jw.push_back(j);
+          if (j < i) {
+            heap.push_back(j);
+            std::push_heap(heap.begin(), heap.end(),
+                           std::greater<int32_t>());
+          }
+        } else {
+          w[j] -= lik * g_ilu.u_val[p];
+          if (!is_ilut && fl < lev[j]) lev[j] = fl;
+        }
+      }
+    }
+
+    // split + drop + store
+    upart.clear();
+    for (int32_t j : jw)
+      if (j > i && in_row[j]) upart.push_back(j);
+    if (is_ilut) {
+      auto keep_largest = [&](std::vector<int32_t>& part) {
+        // drop below tau, then keep the max_keep largest |w|
+        size_t m = 0;
+        for (size_t q = 0; q < part.size(); ++q)
+          if (std::fabs(w[part[q]]) >= tau) part[m++] = part[q];
+        part.resize(m);
+        if ((int64_t)part.size() > max_keep) {
+          std::nth_element(part.begin(), part.begin() + max_keep,
+                           part.end(), [&](int32_t a, int32_t b) {
+                             return std::fabs(w[a]) > std::fabs(w[b]);
+                           });
+          part.resize(max_keep);
+        }
+        std::sort(part.begin(), part.end());
+      };
+      keep_largest(lpart);
+      keep_largest(upart);
+    } else {
+      std::sort(lpart.begin(), lpart.end());
+      std::sort(upart.begin(), upart.end());
+    }
+    double di = in_row[i] ? w[i] : 0.0;
+    if (di == 0.0) di = (rownorm > 0.0 ? 1e-12 * rownorm : 1.0);
+    for (int32_t j : lpart) {
+      g_ilu.l_ind.push_back(j);
+      g_ilu.l_val.push_back(w[j]);
+    }
+    g_ilu.l_ptr.push_back((int64_t)g_ilu.l_ind.size());
+    g_ilu.u_ind.push_back((int32_t)i);   // diagonal first
+    g_ilu.u_val.push_back(di);
+    g_ilu.u_lev.push_back(0);
+    for (int32_t j : upart) {
+      g_ilu.u_ind.push_back(j);
+      g_ilu.u_val.push_back(w[j]);
+      g_ilu.u_lev.push_back(is_ilut ? (int16_t)0 : lev[j]);
+    }
+    g_ilu.u_ptr.push_back((int64_t)g_ilu.u_ind.size());
+
+    for (int32_t j : jw) { w[j] = 0.0; lev[j] = -1; in_row[j] = 0; }
+  }
+  std::copy(g_ilu.l_ptr.begin(), g_ilu.l_ptr.end(), l_indptr);
+  std::copy(g_ilu.u_ptr.begin(), g_ilu.u_ptr.end(), u_indptr);
+}
+
 }  // extern "C"

@@ -82,6 +82,13 @@ def build_parser():
     p.add_argument("-fromfile", type=str, default=None,
                    help="read the matrix from an IJ file")
     p.add_argument("-rhsfromfile", type=str, default=None)
+    p.add_argument("-ilu_type", type=int, default=0,
+                   help="ILU variant (hypre enum: 0/1 BJ-ILU(k)/ILUT, "
+                        "10/11 GMRES-, 20/21 NSH-, 30/31 RAS-, 50 iter)")
+    p.add_argument("-ilu_lfil", type=int, default=0,
+                   help="level of fill k for ILU(k)")
+    p.add_argument("-ilu_droptol", type=float, default=1e-2)
+    p.add_argument("-ilu_max_row_nnz", type=int, default=1000)
     p.add_argument("-exec_host", action="store_true",
                    help="run the solve on CPU (f64)")
     p.add_argument("-print_level", type=int, default=1)
@@ -196,7 +203,7 @@ def main(argv=None):
              16: "AMG-COGMRES", 17: "DS-COGMRES", 20: "AMG-Hybrid",
              50: "DS-LGMRES", 51: "AMG-LGMRES",
              60: "DS-FlexGMRES", 61: "AMG-FlexGMRES",
-             43: "FSAI-PCG"}
+             43: "FSAI-PCG", 80: "ILU-GMRES", 81: "ILU-PCG"}
     print(f"Solver: {names.get(solver_id, solver_id)}")
 
     timers.begin("Solve")
@@ -254,6 +261,18 @@ def main(argv=None):
         relres = hres.relres
         print(f"PCG_Iterations = {hres.pcg_iters}")
         print(f"DSCG_Iterations = {hres.dscg_iters}")
+    elif solver_id in (80, 81):
+        from hypre_tpu.solvers import ILU, IluConfig
+
+        M = ILU(IluConfig(
+            ilu_type=args.ilu_type, fill_level=args.ilu_lfil,
+            drop_tol=args.ilu_droptol,
+            max_row_nnz=args.ilu_max_row_nnz)).setup(A)
+        fn = gmres if solver_id == 80 else pcg
+        kw = {"k_dim": args.k_dim} if solver_id == 80 else {}
+        res = fn(op, b, x0=x0, M=M.precondition, tol=args.tol,
+                 max_iter=args.max_iter, **kw)
+        x, iters, relres = res.x, res.iters, res.relres
     elif solver_id in (8, 43):
         from hypre_tpu.solvers import FSAI, FsaiConfig
 

@@ -1,5 +1,7 @@
-"""ILU preconditioner tests (ref: hypre ILU-GMRES solver 81)."""
+"""ILU preconditioner family tests (ref: hypre ILU solver, type enum
+HYPRE_parcsr_ls.h:4780-4791; setup par_ilu_setup.c:15)."""
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 from hypre_tpu.gen import difconv, laplacian
@@ -12,24 +14,89 @@ def test_chow_patel_matches_exact_ilu0_tridiag():
     # propagates one row per sweep, so n sweeps give the exact factors
     n = 12
     A = laplacian(n)
-    ilu = ILU(IluConfig(sweeps=3 * n)).setup(A)
+    ilu = ILU(IluConfig(ilu_type=50, sweeps=3 * n)).setup(A)
     Lm, Um = ilu._LU_scipy
     L = sp.identity(n) + sp.tril(Lm, -1)
     err = abs((L @ Um - A).toarray()).max()
     assert err < 1e-10
 
 
-def test_ilu_gmres():
-    A = difconv(12, 12, 12, ax=3.0, atype=0)
+def test_iluk_factor_exact_on_full_fill():
+    # ILU(k) with k >= bandwidth reproduces the exact LU factorization
+    A = laplacian(8, 8)
+    n = A.shape[0]
+    ilu = ILU(IluConfig(fill_level=100)).setup(A)
+    Lm, ud, Um = ilu._LU_scipy
+    L = sp.identity(n) + Lm
+    U = Um + sp.diags(ud)
+    err = abs((L @ U - A).toarray()).max()
+    assert err < 1e-9
+
+
+def test_iluk_pattern_grows_with_k():
+    A = laplacian(10, 10)
+    nnz = []
+    for k in (0, 1, 2):
+        ilu = ILU(IluConfig(fill_level=k)).setup(A)
+        Lm, ud, Um = ilu._LU_scipy
+        nnz.append(Lm.nnz + Um.nnz)
+    assert nnz[0] < nnz[1] < nnz[2]
+    # ILU(0) fill pattern == pattern of A
+    ilu0 = ILU(IluConfig(fill_level=0)).setup(A)
+    Lm, ud, Um = ilu0._LU_scipy
+    assert Lm.nnz + Um.nnz + A.shape[0] == A.nnz
+
+
+def test_native_matches_numpy_twin():
+    from hypre_tpu.solvers.ilu import _ilu_factor_numpy
+
+    A = difconv(6, 6, 6, ax=2.0, atype=0)
+    from hypre_tpu.setup.utils import native_enabled
+
+    if not native_enabled():
+        pytest.skip("native kernels unavailable")
+    from hypre_tpu.csrc import build as native
+
+    for kwargs in ({"fill_k": 1, "is_ilut": False},
+                   {"drop_tol": 1e-2, "max_keep": 8, "is_ilut": True}):
+        Ln, udn, Un = native.ilu_factor(A, **{
+            {"fill_k": "fill_k", "drop_tol": "drop_tol",
+             "max_keep": "max_keep", "is_ilut": "is_ilut"}[k]: v
+            for k, v in kwargs.items()})
+        Lp, udp, Up = _ilu_factor_numpy(
+            A, kwargs.get("fill_k", 0), kwargs.get("drop_tol", 0.0),
+            kwargs.get("max_keep", 1000), kwargs["is_ilut"])
+        assert np.allclose(udn, udp)
+        assert abs(Ln - Lp).max() < 1e-12
+        assert abs(Un - Up).max() < 1e-12
+
+
+@pytest.mark.parametrize("ilu_type", [0, 1, 10, 20, 30, 31, 50])
+def test_ilu_family_gmres_converges(ilu_type):
+    A = difconv(10, 10, 10, ax=3.0, atype=0)
     b = np.ones(A.shape[0])
-    ilu = ILU().setup(A)
+    cfg = IluConfig(ilu_type=ilu_type, fill_level=1, drop_tol=1e-3,
+                    ras_block_size=200, ras_overlap=20)
+    ilu = ILU(cfg).setup(A)
     res = gmres(sparse_op_from_scipy(A), b, M=ilu.precondition,
                 tol=1e-8, max_iter=500)
     r = b - A @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
-    # must beat unpreconditioned GMRES
+    # a real preconditioner: beats unpreconditioned GMRES
     res0 = gmres(sparse_op_from_scipy(A), b, tol=1e-8, max_iter=500)
     assert int(res.iters) < int(res0.iters)
+
+
+def test_ilut_beats_ilu0_iterations():
+    A = difconv(12, 12, 12, ax=4.0, atype=0)
+    b = np.ones(A.shape[0])
+    it = {}
+    for t, kw in ((0, {}), (1, {"drop_tol": 1e-4, "max_row_nnz": 20})):
+        ilu = ILU(IluConfig(ilu_type=t, **kw)).setup(A)
+        res = gmres(sparse_op_from_scipy(A), b, M=ilu.precondition,
+                    tol=1e-10, max_iter=500)
+        it[t] = int(res.iters)
+    assert it[1] <= it[0]
 
 
 def test_ilu_pcg_spd():
@@ -40,3 +107,13 @@ def test_ilu_pcg_spd():
               tol=1e-8, max_iter=500)
     r = b - A @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_ras_restriction_is_partition():
+    """Every row's correction comes from exactly one (owning) block."""
+    A = laplacian(7, 7)
+    ilu = ILU(IluConfig(ilu_type=30, ras_block_size=10,
+                        ras_overlap=3, fill_level=2)).setup(A)
+    r = np.random.RandomState(3).rand(A.shape[0])
+    x = np.asarray(ilu.precondition(r))
+    assert np.isfinite(x).all() and np.abs(x).max() > 0

@@ -193,6 +193,42 @@ def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
     return ell_matvec(A, x)
 
 
+def matmat(A: SparseOp, X: jax.Array) -> jax.Array:
+    """Y = A @ X for a multivector X of shape (n, nv) — the NV-batched
+    SpMV (ref: src/seq_mv/csr_spmv_device.c:35, the NV template
+    parameter; hypre_Vector multivector fields seq_mv/vector.h).
+
+    ELL and DIA batch natively (the gather/shift indexes rows, the nv
+    axis rides along on lanes); dense is one MXU matmul; GST-ELL
+    vmaps its Pallas kernel over columns.
+    """
+    if X.ndim == 1:
+        return matvec(A, X)
+    if isinstance(A, DenseMatrix):
+        xp = jnp.pad(X.astype(A.vals.dtype),
+                     ((0, A.vals.shape[1] - X.shape[0]), (0, 0)))
+        return jnp.dot(A.vals, xp,
+                       preferred_element_type=A.vals.dtype)[:A.n_rows]
+    if isinstance(A, DiaMatrix):
+        n = A.n_rows
+        y = jnp.zeros((n, X.shape[1]), dtype=A.vals.dtype)
+        for k, d in enumerate(A.offsets):
+            n_cols = X.shape[0]
+            lo = max(0, -d)
+            start = max(0, d)
+            stop = min(n_cols, n + d)
+            core = X[start:stop]
+            hi = n - lo - core.shape[0]
+            if lo or hi:
+                core = jnp.pad(core, ((lo, max(hi, 0)), (0, 0)))
+            y = y + A.vals[k][:, None] * core[:n]
+        return y
+    if isinstance(A, EllMatrix):
+        gathered = jnp.take(X, A.cols, axis=0)   # (width, n_rows, nv)
+        return jnp.sum(A.vals[..., None] * gathered, axis=0)
+    return jax.vmap(lambda v: matvec(A, v), in_axes=1, out_axes=1)(X)
+
+
 def matvec_t(A: EllMatrix, y: jax.Array) -> jax.Array:
     """x = A.T @ y for padded ELL via scatter-add (segment_sum).
 

@@ -43,13 +43,15 @@ def lobpcg(A, X0, M: Callable | None = None, tol: float = 1e-6,
            max_iter: int = 100) -> LobpcgResult:
     """A: SparseOp or callable; X0: (n, m) initial block; M:
     preconditioner r -> z (single vector)."""
-    from hypre_tpu.ops.formats import SparseOp, matvec
+    from hypre_tpu.ops.formats import SparseOp, matmat, matvec
     from hypre_tpu.solvers.amg import AmgHierarchy, BoomerAMG, amg_cycle
 
     if isinstance(A, SparseOp):
         Aop = lambda v: matvec(A, v)  # noqa: E731
+        Amulti = lambda X: matmat(A, X)  # noqa: E731  (NV-batched SpMV)
     else:
         Aop = A
+        Amulti = None
     if isinstance(M, BoomerAMG):
         h = M.hierarchy
         Mop = lambda r: amg_cycle(h, r)  # noqa: E731
@@ -61,7 +63,7 @@ def lobpcg(A, X0, M: Callable | None = None, tol: float = 1e-6,
     X = jnp.asarray(X0)
     n, m = X.shape
     X = _ortho(X)
-    AX = _apply_columns(Aop, X)
+    AX = Amulti(X) if Amulti is not None else _apply_columns(Aop, X)
     gram = X.T @ AX
     theta, Q = jnp.linalg.eigh(gram)
     X = X @ Q
@@ -83,7 +85,7 @@ def lobpcg(A, X0, M: Callable | None = None, tol: float = 1e-6,
         blocks = [X, W] if P is None else [X, W, P]
         S = jnp.concatenate(blocks, axis=1)
         S = _ortho(S)
-        AS = _apply_columns(Aop, S)
+        AS = Amulti(S) if Amulti is not None else _apply_columns(Aop, S)
         gram = S.T @ AS
         gram = 0.5 * (gram + gram.T)
         th_all, Q = jnp.linalg.eigh(gram)

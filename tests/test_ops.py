@@ -96,3 +96,24 @@ def test_9pt_generator_row_sums():
     # interior rows sum to zero (diag 8, eight -1 neighbors)
     interior = A.sum(axis=1).A1.reshape(16, 16)[1:-1, 1:-1]
     np.testing.assert_allclose(interior, 0.0, atol=1e-14)
+
+
+def test_matmat_batched_rhs_all_formats():
+    """NV-batched SpMV (ref: csr_spmv_device.c:35 NV template)."""
+    import numpy as np
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.ops.formats import (
+        dense_from_scipy, dia_from_scipy, ell_from_scipy, matmat,
+    )
+
+    A = laplacian(9, 7)
+    X = np.random.RandomState(5).rand(A.shape[0], 4)
+    want = A @ X
+    for op in (ell_from_scipy(A), dia_from_scipy(A),
+               dense_from_scipy(A)):
+        got = np.asarray(matmat(op, X))
+        assert np.allclose(got, want, atol=1e-5), type(op)
+    # single-vector passthrough
+    from hypre_tpu.ops.formats import matvec
+    got1 = np.asarray(matmat(ell_from_scipy(A), X[:, 0]))
+    assert np.allclose(got1, A @ X[:, 0], atol=1e-5)

@@ -44,10 +44,15 @@ def main():
     t_gen = time.time() - t0
 
     # out.14 config: ext+i interpolation (6), l1-Jacobi (18), PMIS
-    cfg = AmgConfig(interp_type=6, relax_type=18)
+    verbose = int(os.environ.get("HYPRE_TPU_BENCH_VERBOSE", "1"))
+    print(f"[bench] gen done ({t_gen:.1f}s), nnz={A.nnz}",
+          file=sys.stderr, flush=True)
+    cfg = AmgConfig(interp_type=6, relax_type=18, print_level=verbose)
     t0 = time.time()
     amg = BoomerAMG(cfg).setup(A)
     t_setup = time.time() - t0
+    print(f"[bench] setup done ({t_setup:.1f}s)", file=sys.stderr,
+          flush=True)
 
     op = sparse_op_from_scipy(A)
     b = np.ones(A.shape[0], dtype=np.float32)
@@ -61,6 +66,8 @@ def main():
     tol = 1e-6
     res = pcg(A=op, b=b, M=amg, tol=tol, max_iter=100)
     jax.block_until_ready(res.x)
+    print(f"[bench] warmup solve done ({int(res.iters)} iters)",
+          file=sys.stderr, flush=True)
     # per-process salt: identical rhs values across runs would hit the
     # remote layer's (executable, input) result cache
     salt = np.float32(1.0 + (int.from_bytes(os.urandom(2), "little")

@@ -12,4 +12,4 @@ from hypre_tpu.solvers.ilu import ILU, IluConfig  # noqa: F401
 from hypre_tpu.solvers.schwarz import Schwarz, SchwarzConfig  # noqa: F401
 from hypre_tpu.solvers.ams import AMS, AmsConfig  # noqa: F401
 from hypre_tpu.solvers.mgr import MGR, MgrConfig  # noqa: F401
-from hypre_tpu.solvers.ams import ADS  # noqa: F401
+from hypre_tpu.solvers.ams import ADS, AME  # noqa: F401

@@ -75,6 +75,9 @@ class AmgConfig:
     cheby_eig_iters: int = 20
     # format selection
     prefer_dia: bool = True
+    # observability (HYPRE_BoomerAMGSetPrintLevel analog; >=1 prints a
+    # per-level setup trace with wall times to stderr)
+    print_level: int = 0
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -250,6 +253,8 @@ class BoomerAMG:
         """Pipelined setup: host level-build (numpy/native, GIL-free)
         streams into device packing + transfer on a worker pool, so
         building level l+1 overlaps packing/transferring level l."""
+        import sys
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.config
@@ -257,14 +262,32 @@ class BoomerAMG:
         levels_host = []
         futs = []
         Al = None
+        t0 = _time.time()
+
+        def trace(msg):
+            if cfg.print_level >= 1:
+                print(f"  [amg setup +{_time.time() - t0:7.1f}s] {msg}",
+                      file=sys.stderr, flush=True)
+
+        def timed_pack(lvl_no, *item):
+            tp = _time.time()
+            out = self._build_dev_level(*item)
+            trace(f"level {lvl_no} device pack done "
+                  f"({_time.time() - tp:.1f}s)")
+            return out
+
         with ThreadPoolExecutor(max_workers=2) as ex:
             for item in iter_host_hierarchy(A, cfg):
                 if isinstance(item, tuple):
+                    trace(f"level {len(levels_host)} host built "
+                          f"(n={item[0].shape[0]}, nnz={item[0].nnz})")
+                    futs.append(ex.submit(timed_pack, len(levels_host),
+                                          *item))
                     levels_host.append(item)
-                    futs.append(ex.submit(self._build_dev_level, *item))
                 else:
                     Al = item
             dev_levels = [f.result() for f in futs]
+        trace("all levels packed")
         return self._finish_setup(levels_host, dev_levels, Al,
                                   n_fine_nnz)
 

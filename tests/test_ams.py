@@ -60,3 +60,63 @@ def test_ads_pcg():
     r = b - A @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
     assert int(res.iters) <= 40
+
+
+def test_derham_3d_exactness():
+    """curl∘grad = 0 and div∘curl = 0 on the 3D complex."""
+    from hypre_tpu.solvers.ams import derham_3d
+
+    G, C, D, Pi_e, Pi_f = derham_3d(4)
+    assert abs(C @ G).max() == 0.0
+    assert abs(D @ C).max() == 0.0
+    # incidence column sums: gradient rows have one +1 and one -1
+    assert (np.asarray(abs(G).sum(axis=1)).ravel() == 2).all()
+
+
+def test_ams_3d_mesh_independent():
+    """3D Nedelec curl-curl + mass (the ex15 problem): AMS-PCG iters
+    bounded independent of n (ref: src/parcsr_ls/ams.c)."""
+    from hypre_tpu.solvers.ams import maxwell_3d
+
+    iters = []
+    for n in (3, 5):
+        A, G, Pi = maxwell_3d(n, beta=1.0)
+        ams = AMS().setup(A, G, Pi)
+        b = np.ones(A.shape[0])
+        res = pcg(sparse_op_from_scipy(A), b, M=ams.precondition,
+                  tol=1e-8, max_iter=200)
+        r = b - A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+        iters.append(int(res.iters))
+    assert iters[1] <= iters[0] + 3, iters
+
+
+def test_ads_3d_hdiv():
+    """3D RT0 div-div + mass with the REAL ADS (inner AMS edge solve,
+    ref: src/parcsr_ls/ads.c)."""
+    from hypre_tpu.solvers.ams import ADS, rt0_3d
+
+    iters = []
+    for n in (3, 5):
+        A, C, Pi_f, G, Pi_e = rt0_3d(n, beta=1.0)
+        ads = ADS().setup(A, C, Pi_f, G=G, Pi_e=Pi_e)
+        b = np.ones(A.shape[0])
+        res = pcg(sparse_op_from_scipy(A), b, M=ads.precondition,
+                  tol=1e-8, max_iter=200)
+        r = b - A @ np.asarray(res.x)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+        iters.append(int(res.iters))
+    assert iters[1] <= iters[0] + 3, iters
+
+
+def test_ame_component_projects_gradients():
+    """The dedicated AME component (ref: src/parcsr_ls/ame.c) returns
+    non-gradient modes: every eigenvalue is above beta."""
+    from hypre_tpu.solvers import AME
+    from hypre_tpu.solvers.ams import maxwell_3d
+
+    A, G, Pi = maxwell_3d(4, beta=1.0)
+    ame = AME().setup(A, G, Pi)
+    res = ame.solve(3, tol=1e-6, max_iter=80)
+    ev = np.sort(np.asarray(res.eigenvalues))
+    assert (ev > 1.05).all(), ev

@@ -84,17 +84,21 @@ def _check(ok: bool, msg: str) -> bool:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["base", "brel", "w0b", "locs", "vals"],
          meta_fields=["n_rows", "n_cols", "c", "g", "b", "eb", "x_rows",
-                      "x_rows_pad", "resident", "nnz"])
+                      "x_rows_pad", "resident", "nnz", "ch_step"])
 @dataclasses.dataclass(frozen=True)
 class GstEllMatrix:
-    """base: int32[n_steps, CH_STEP, G, 8]  absolute window base row of
+    """base: int32[n_steps, ch_step, G, 8]  absolute window base row of
              x2d per (chunk, group, sublane) (resident kernel + CPU ref)
     brel: int32[same]  windowed mode: band*Eb + (base - w0_band) —
              direct row index into the concatenated band window scratch
     w0b:  int32[n_steps, B]  per (step, band) x2d window start row
-    locs: int16[n_steps, CH_STEP, 8*G, 128] local offsets in [0,128c)
+    locs: int16[n_steps, ch_step, 8*G, 128] local offsets in [0,128c)
           (int16 halves HBM bytes; kernels upcast in VMEM)
     vals: real [same]     0 in padding slots
+
+    ch_step = chunks per pallas grid step.  Large operators use big
+    steps so the per-step fixed cost (grid dispatch + DMA latency)
+    amortizes over ~1 MB of slot data; small ones keep steps short.
     """
 
     base: jax.Array
@@ -112,6 +116,7 @@ class GstEllMatrix:
     x_rows_pad: int
     resident: bool
     nnz: int
+    ch_step: int = CH_STEP
 
     @property
     def shape(self):
@@ -155,23 +160,14 @@ def _gstell_pack_native(A, real_dtype=None, gap=GAP):
         ch_step=CH_STEP)
     if r is None:
         return None
-    G, n_steps = r["G"], r["n_steps"]
+    G = r["G"]
     x_rows = max(-(-n_cols // 128), 1)
-    return GstEllMatrix(
-        base=jnp.asarray(r["base"].reshape(n_steps, CH_STEP, G, 8)),
-        brel=(None if r["resident"] else jnp.asarray(
-            r["brel"].reshape(n_steps, CH_STEP, G, 8))),
-        w0b=(None if r["resident"] else jnp.asarray(
-            r["w0b"].reshape(n_steps, r["B"]))),
-        locs=jnp.asarray(
-            r["locs"].reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
-        vals=jnp.asarray(
-            r["vals"].reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
-        n_rows=int(n_rows), n_cols=int(n_cols), c=r["c"], g=G,
-        b=r["B"], eb=r["eb"], x_rows=int(x_rows),
-        x_rows_pad=r["x_rows_pad"], resident=r["resident"],
-        nnz=int(A.nnz),
-    )
+    return _finish_pack(
+        np.asarray(r["base"]).reshape(-1, 8 * G),
+        r["locs"].reshape(-1, 8 * G, CHUNK),
+        r["vals"].reshape(-1, 8 * G, CHUNK), n_rows=int(n_rows),
+        n_cols=int(n_cols), c=int(r["c"]), G=G, x_rows=int(x_rows),
+        nnz=int(A.nnz), real_dtype=real_dtype)
 
 
 def _gstell_pack(A, real_dtype=None, gap=GAP):
@@ -311,7 +307,115 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     vals[chunk, slot, lane] = dat
 
     base_steps = base.reshape(n_steps, CH_STEP * 8 * G)
+
+    return _finish_pack(
+        base_steps, locs.reshape(-1, 8 * G, CHUNK),
+        vals.reshape(-1, 8 * G, CHUNK), n_rows=int(n_rows),
+        n_cols=int(n_cols), c=int(c), G=G, x_rows=int(x_rows),
+        nnz=int(A.nnz), real_dtype=real_dtype)
+
+
+def _band_bases(base_steps, c, max_win_rows=MAX_WIN_ROWS):
+    """Cluster each grid step's window bases into <= MAX_B contiguous
+    DMA bands (windowed mode).  base_steps: int (n_steps, S_total).
+    Returns (brel, w0b, B, eb) or None when the windows cannot be
+    bounded."""
+    n_steps = base_steps.shape[0]
+    sb = np.sort(base_steps, axis=1)              # (n_steps, S)
+    gaps = np.diff(sb, axis=1)
+    # split where the gap is large AND among the MAX_B-1 largest
+    # of its step (guarantees B <= MAX_B)
+    if gaps.shape[1] > MAX_B - 1:
+        kth = np.partition(gaps, gaps.shape[1] - (MAX_B - 1),
+                           axis=1)[:, gaps.shape[1] - (MAX_B - 1)]
+        is_split = (gaps > BAND_GAP) & (gaps >= kth[:, None])
+        # ties at kth could still exceed MAX_B-1 splits; enforce
+        counts = is_split.cumsum(axis=1)
+        is_split &= counts <= (MAX_B - 1)
+    else:
+        is_split = gaps > BAND_GAP
+    band_sorted = np.concatenate(
+        [np.zeros((n_steps, 1), np.int64),
+         is_split.cumsum(axis=1)], axis=1)        # band of sorted pos
+    B = int(band_sorted.max(initial=0)) + 1
+    # per (step, band) window start = first base of the band
+    w0b = np.full((n_steps, B), np.iinfo(np.int64).max)
+    st = np.repeat(np.arange(n_steps), sb.shape[1])
+    np.minimum.at(w0b, (st, band_sorted.reshape(-1)), sb.reshape(-1))
+    # band of each (step, slot): count band starts <= base.  Empty
+    # trailing bands still hold the +inf sentinel here, so they are
+    # never counted and the ascending-order assumption holds.
+    band = (base_steps[:, :, None] >= w0b[:, None, :]).sum(axis=2) - 1
+    band = np.maximum(band, 0)
+    # empty bands (steps with fewer bands than B): reuse band 0's
+    # start so their (wasted but harmless) DMA stays in-bounds
+    w0b = np.where(w0b == np.iinfo(np.int64).max, w0b[:, :1], w0b)
+    rel = base_steps - np.take_along_axis(w0b, band, axis=1)
+    eb = int(rel.max(initial=0)) + c
+    if B * eb > max_win_rows:
+        return None
+    if not _check((rel >= 0).all(), "negative band-relative base"):
+        return None
+    if not _check((rel + c <= eb).all(), "band window overrun"):
+        return None
+    brel = band * eb + rel
+    return brel, w0b, B, eb
+
+
+def _pick_ch_step(n_chunks, G, resident):
+    """Chunks per grid step: amortize per-step fixed costs (grid
+    dispatch ~1 us + band-DMA latency) over >= ~0.75 MB of slot data
+    without exceeding a ~3 MB per-step block."""
+    if resident:
+        per_chunk = 8 * G * CHUNK * 6          # vals f32 + locs i16
+        target = max(1, (768 * 1024) // per_chunk)
+    else:
+        per_chunk = 8 * G * CHUNK * 6
+        target = max(1, (1536 * 1024) // per_chunk)
+    ch = 1 << (target.bit_length() - 1)
+    return int(max(CH_STEP, min(64, ch)))
+
+
+def _finish_pack(base_steps, locs, vals, *, n_rows, n_cols, c, G,
+                 x_rows, nnz, real_dtype, ch_step=None):
+    """Shared packing tail: pick the grid step size, decide
+    resident/windowed, band the windows, and assemble the pytree.
+
+    base_steps: int (n_steps8, 8*8G) window bases at CH_STEP=8 layout
+    locs/vals:  (n_chunks_pad8, 8G, 128) numpy or device arrays
+    """
     resident = (x_rows + c) * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
+    base_flat0 = np.asarray(base_steps).reshape(-1, 8 * G)  # per chunk
+    if ch_step is None:
+        ch_step = _pick_ch_step(base_flat0.shape[0], G, resident)
+    out = None
+    while out is None and ch_step >= CH_STEP:
+        out = _finish_pack_at(
+            base_flat0, locs, vals, n_rows=n_rows, n_cols=n_cols, c=c,
+            G=G, x_rows=x_rows, nnz=nnz, real_dtype=real_dtype,
+            ch_step=ch_step, resident=resident)
+        ch_step //= 2
+    return out
+
+
+def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
+                    x_rows, nnz, real_dtype, ch_step, resident):
+    # pad the chunk count to a multiple of ch_step (device packs hand
+    # in exactly ceil(n/CHUNK) chunks; host packs are pre-padded to 8)
+    n_chunks_new = -(-base_flat.shape[0] // ch_step) * ch_step
+    extra = n_chunks_new - base_flat.shape[0]
+    if extra:
+        fill = base_flat[-1:].repeat(extra, axis=0)
+        base_flat = np.concatenate([base_flat, fill], axis=0)
+        pad_locs = [(0, extra), (0, 0), (0, 0)]
+        if isinstance(locs, np.ndarray):
+            locs = np.pad(locs, pad_locs)
+            vals = np.pad(vals, pad_locs)
+        else:
+            locs = jnp.pad(locs, pad_locs)
+            vals = jnp.pad(vals, pad_locs)
+    n_steps = base_flat.shape[0] // ch_step
+    base_steps = base_flat.reshape(n_steps, ch_step * 8 * G)
 
     brel_arr = w0b_arr = None
     B = eb = 0
@@ -319,62 +423,111 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
         x_rows_pad = int(base_steps.max(initial=0)) + c
         x_rows_pad = max(x_rows_pad, x_rows)
     else:
-        # ---- band the per-step bases into <= MAX_B DMA windows ------
-        sb = np.sort(base_steps, axis=1)              # (n_steps, S)
-        gaps = np.diff(sb, axis=1)
-        # split where the gap is large AND among the MAX_B-1 largest
-        # of its step (guarantees B <= MAX_B)
-        if gaps.shape[1] > MAX_B - 1:
-            kth = np.partition(gaps, gaps.shape[1] - (MAX_B - 1),
-                               axis=1)[:, gaps.shape[1] - (MAX_B - 1)]
-            is_split = (gaps > BAND_GAP) & (gaps >= kth[:, None])
-            # ties at kth could still exceed MAX_B-1 splits; enforce
-            counts = is_split.cumsum(axis=1)
-            is_split &= counts <= (MAX_B - 1)
-        else:
-            is_split = gaps > BAND_GAP
-        band_sorted = np.concatenate(
-            [np.zeros((n_steps, 1), np.int64),
-             is_split.cumsum(axis=1)], axis=1)        # band of sorted pos
-        B = int(band_sorted.max(initial=0)) + 1
-        # per (step, band) window start = first base of the band
-        w0b = np.full((n_steps, B), np.iinfo(np.int64).max)
-        st = np.repeat(np.arange(n_steps), sb.shape[1])
-        np.minimum.at(w0b, (st, band_sorted.reshape(-1)), sb.reshape(-1))
-        # band of each (step, slot): count band starts <= base.  Empty
-        # trailing bands still hold the +inf sentinel here, so they are
-        # never counted and the ascending-order assumption holds.
-        band = (base_steps[:, :, None] >= w0b[:, None, :]).sum(axis=2) - 1
-        band = np.maximum(band, 0)
-        # empty bands (steps with fewer bands than B): reuse band 0's
-        # start so their (wasted but harmless) DMA stays in-bounds
-        w0b = np.where(w0b == np.iinfo(np.int64).max, w0b[:, :1], w0b)
-        rel = base_steps - np.take_along_axis(w0b, band, axis=1)
-        eb = int(rel.max(initial=0)) + c
-        if B * eb > MAX_WIN_ROWS:
+        r = _band_bases(base_steps, c)
+        if r is None:
             return None
-        if not _check((rel >= 0).all(), "negative band-relative base"):
-            return None
-        if not _check((rel + c <= eb).all(), "band window overrun"):
-            return None
-        brel = band * eb + rel
+        brel, w0b, B, eb = r
         x_rows_pad = max(int(w0b.max(initial=0)) + eb, x_rows)
         brel_arr = jnp.asarray(
-            brel.reshape(n_steps, CH_STEP, G, 8).astype(np.int32))
+            brel.reshape(n_steps, ch_step, G, 8).astype(np.int32))
         w0b_arr = jnp.asarray(w0b.astype(np.int32))
 
-    base_out = base_steps.reshape(n_steps, CH_STEP, G, 8)
+    shape4 = (n_steps, ch_step, 8 * G, CHUNK)
+    if isinstance(locs, np.ndarray):
+        locs_arr = jnp.asarray(locs.reshape(shape4))
+        vals_arr = jnp.asarray(vals.reshape(shape4))
+    else:
+        locs_arr = locs.reshape(shape4)
+        vals_arr = vals.reshape(shape4)
 
     return GstEllMatrix(
-        base=jnp.asarray(base_out.astype(np.int32)),
-        brel=brel_arr, w0b=w0b_arr,
-        locs=jnp.asarray(locs.reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
-        vals=jnp.asarray(vals.reshape(n_steps, CH_STEP, 8 * G, CHUNK)),
+        base=jnp.asarray(base_steps.reshape(n_steps, ch_step, G, 8)
+                         .astype(np.int32)),
+        brel=brel_arr, w0b=w0b_arr, locs=locs_arr, vals=vals_arr,
         n_rows=int(n_rows), n_cols=int(n_cols), c=int(c), g=G,
         b=int(B), eb=int(eb), x_rows=int(x_rows),
         x_rows_pad=int(x_rows_pad), resident=bool(resident),
-        nnz=int(A.nnz),
+        nnz=int(nnz), ch_step=int(ch_step),
     )
+
+
+def gstell_from_stencil(shape, entries, real_dtype=None):
+    """Analytic GST-ELL pack of a stencil operator (x-fastest grid
+    ordering, Dirichlet truncation — the operator gen.stencil_matrix
+    builds, ref: src/parcsr_ls/par_laplace.c:63).
+
+    The structure is pure index arithmetic: arm k of the stencil gets
+    slot k, its window base for a chunk of 128 rows is
+    (chunk*128 + disp_k) // 128 (clamped at 0), and every local offset
+    lands in [0, 256) so c = 2.  Values materialize directly on device
+    from the boundary masks — no host matrix and no host->device copy
+    beyond O(n_chunks) window metadata.  Exactly equivalent to
+    gstell_from_scipy(gen.stencil_matrix(shape, entries)) up to slot
+    assignment."""
+    from hypre_tpu.core.config import get_config
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    ents = sorted(((d, v) for d, v in entries if v != 0.0),
+                  key=lambda e: e[0][0] + nx * (e[0][1] + ny * e[0][2]))
+    K = len(ents)
+    if K == 0 or n == 0:
+        return None
+    G = -(-K // 8)
+    if G > MAX_G:
+        return None
+    S = 8 * G
+    disp = np.array([dx + nx * (dy + ny * dz) for (dx, dy, dz), _ in ents],
+                    np.int64)
+    n_chunks = -(-n // 128)
+    x_rows = max(-(-n // 128), 1)
+
+    chunks = np.arange(n_chunks, dtype=np.int64)
+    base = np.zeros((n_chunks, S), np.int64)
+    base[:, :K] = np.maximum(
+        (chunks[:, None] * 128 + disp[None, :]) // 128, 0)
+    base[:, K:] = base[:, :1]          # pad slots share slot 0's window
+
+    # nnz of the truncated stencil (for padding diagnostics)
+    nnz = 0
+    for (dx, dy, dz), _ in ents:
+        nnz += max(nx - abs(dx), 0) * max(ny - abs(dy), 0) \
+            * max(nz - abs(dz), 0)
+
+    jreal = jnp.dtype(real_dtype)
+
+    @partial(jax.jit, static_argnums=())
+    def build_slots(base_dev):
+        lin = jnp.arange(n_chunks * 128, dtype=jnp.int32)
+        gx = lin % nx
+        gy = (lin // nx) % ny
+        gz = lin // (nx * ny)
+        in_range = lin < n
+        locs_k = []
+        vals_k = []
+        for k, ((dx, dy, dz), v) in enumerate(ents):
+            ok = (in_range & (gx + dx >= 0) & (gx + dx < nx)
+                  & (gy + dy >= 0) & (gy + dy < ny)
+                  & (gz + dz >= 0) & (gz + dz < nz))
+            col = lin + jnp.int32(disp[k])
+            b = jnp.repeat(base_dev[:, k], 128)
+            locs_k.append(jnp.where(ok, col - 128 * b, 0)
+                          .astype(jnp.int16))
+            vals_k.append(jnp.where(ok, jnp.asarray(v, jreal), 0))
+        locs = jnp.stack(locs_k, axis=1)           # (n_pad, K)
+        vals = jnp.stack(vals_k, axis=1)
+        pad = [(0, 0), (0, S - K)]
+        locs = jnp.pad(locs, pad)
+        vals = jnp.pad(vals, pad)
+        locs = locs.reshape(n_chunks, 128, S).transpose(0, 2, 1)
+        vals = vals.reshape(n_chunks, 128, S).transpose(0, 2, 1)
+        return locs, vals
+
+    locs_dev, vals_dev = build_slots(jnp.asarray(base.astype(np.int32)))
+    return _finish_pack(base, locs_dev, vals_dev, n_rows=int(n),
+                        n_cols=int(n), c=2, G=G, x_rows=int(x_rows),
+                        nnz=int(nnz), real_dtype=real_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -413,13 +566,13 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     from jax.experimental.pallas import tpu as pltpu
 
     n_steps = A.locs.shape[0]
-    G, c = A.g, A.c
+    G, c, CH = A.g, A.c, A.ch_step
     dtype = A.vals.dtype
     x2d = _pad_x2d(A, x)
 
     if A.resident:
         def kernel(base_ref, locs_ref, vals_ref, x_ref, y_ref):
-            for ch in range(CH_STEP):
+            for ch in range(CH):
                 y_ref[0, ch, :] = _chunk_body(
                     lambda g, s: base_ref[0, ch, g, s],
                     locs_ref[0, ch], vals_ref[0, ch],
@@ -427,21 +580,21 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 
         y = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_steps, CH_STEP, CHUNK), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_steps, CH, CHUNK), dtype),
             grid=(n_steps,),
             in_specs=[
-                pl.BlockSpec((1, CH_STEP, G, 8), lambda t: (t, 0, 0, 0),
+                pl.BlockSpec((1, CH, G, 8), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
+                pl.BlockSpec((1, CH, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
+                pl.BlockSpec((1, CH, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((A.x_rows_pad, 128), lambda t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, CH_STEP, CHUNK),
+            out_specs=pl.BlockSpec((1, CH, CHUNK),
                                    lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
         )(A.base, A.locs, A.vals, x2d)
@@ -477,7 +630,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                 band_copy(t, slot, bd).wait()
 
             off = slot * WIN
-            for ch in range(CH_STEP):
+            for ch in range(CH):
                 y_ref[0, ch, :] = _chunk_body(
                     lambda g, s: brel_ref[0, ch, g, s] + off,
                     locs_ref[0, ch], vals_ref[0, ch],
@@ -485,21 +638,21 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 
         y = pl.pallas_call(
             kernel_w,
-            out_shape=jax.ShapeDtypeStruct((n_steps, CH_STEP, CHUNK), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_steps, CH, CHUNK), dtype),
             grid=(n_steps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),      # w0b, whole
-                pl.BlockSpec((1, CH_STEP, G, 8), lambda t: (t, 0, 0, 0),
+                pl.BlockSpec((1, CH, G, 8), lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
+                pl.BlockSpec((1, CH, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, CH_STEP, 8 * G, CHUNK),
+                pl.BlockSpec((1, CH, 8 * G, CHUNK),
                              lambda t: (t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),       # x2d in HBM
             ],
-            out_specs=pl.BlockSpec((1, CH_STEP, CHUNK),
+            out_specs=pl.BlockSpec((1, CH, CHUNK),
                                    lambda t: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[

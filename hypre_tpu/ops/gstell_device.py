@@ -1,0 +1,275 @@
+"""Device-side GST-ELL packing: DEll (row-major padded ELL, the
+device-setup representation) -> GstEllMatrix, entirely as XLA programs.
+
+This is the packing tail of the device setup path: the AMG hierarchy is
+built on the TPU (setup/device_amg.py), and each level must end up in
+the solve format (ops/gstell.py) WITHOUT a round-trip through host
+memory.  The algorithm is the same offset-cluster plan as the host
+packer (_gstell_pack):
+
+  1. offset d = col - row (scaled for rectangular operators)
+  2. global offset clustering (gap > GAP splits) via a presence bitmap
+     and prefix scans — the device analog of the host's unique+cumsum
+  3. rank within each (row, cluster) run
+  4. per-chunk slot ranges from per-(chunk, cluster) max run lengths
+  5. scatter into the (chunk, slot, lane) layout, window bases from
+     per-(chunk, slot) column ranges
+
+Host involvement: a handful of scalar syncs (span, cluster count, G,
+c) and the O(n_chunks * slots) window-base array for band scheduling —
+a few MB at the largest levels, nothing O(nnz).
+
+Plays the role of hypre's device CSR format conversions
+(ref: src/seq_mv/csr_matrix.c device paths); the structure decisions
+mirror src/seq_mv/csr_spmv_device.c:300-306 shape-driven tuning.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypre_tpu.ops.gstell import (
+    CHUNK, GAP, MAX_C, MAX_G, _finish_pack,
+)
+
+_BIG = np.int32(2**30)  # numpy scalar: no backend init at import
+
+
+def _offsets(cols, valid, n_rows, n_cols):
+    row = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    if n_rows == n_cols:
+        shift = row
+    else:
+        shift = (row.astype(jnp.int64) * n_cols // max(n_rows, 1)) \
+            .astype(jnp.int32)
+    return jnp.where(valid, cols - shift, _BIG)
+
+
+def _cluster_lut(d, valid, span, dmin):
+    """Presence-bitmap clustering: cluster id per offset position.
+
+    Returns (lut int32[span], n_clusters device scalar)."""
+    pres = jnp.zeros((span,), bool).at[
+        jnp.where(valid, d - dmin, span).reshape(-1)].set(
+            True, mode="drop")
+    idx = jnp.arange(span, dtype=jnp.int32)
+    # previous present position at or before idx-1
+    pp = jnp.where(pres, idx, -1)
+    prev_incl = jax.lax.associative_scan(jnp.maximum, pp)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                            prev_incl[:-1]])
+    newcl = pres & ((prev < 0) | (idx - prev > GAP))
+    cl = jnp.cumsum(newcl.astype(jnp.int32)) - 1
+    lut = jnp.where(pres, cl, 0).astype(jnp.int32)
+    n_clusters = cl[-1] + 1 if span else jnp.int32(0)
+    return lut, n_clusters
+
+
+@jax.jit
+def _stage_stats(M):
+    valid = M.mask
+    d = _offsets(M.cols, valid, M.n_rows, M.n_cols)
+    nnz = jnp.sum(valid)
+    dmin = jnp.min(jnp.where(valid, d, _BIG))
+    dmax = jnp.max(jnp.where(valid, d, -_BIG))
+    return nnz, dmin, dmax
+
+
+@partial(jax.jit, static_argnames=("span", "dmin"))
+def _stage_cluster(M, span, dmin):
+    valid = M.mask
+    d = _offsets(M.cols, valid, M.n_rows, M.n_cols)
+    lut, ncl = _cluster_lut(d, valid, span, dmin)
+    return lut, ncl
+
+
+@partial(jax.jit, static_argnames=("span", "dmin", "NC"))
+def _stage_slots(M, lut, span, dmin, NC):
+    """ecl + rank + per-(chunk, cluster) slot ranges; returns the
+    S_max scalar the caller syncs to pick G."""
+    n, w = M.cols.shape
+    valid = M.mask
+    d = _offsets(M.cols, valid, n, M.n_cols)
+    ecl = jnp.where(valid, jnp.take(lut, jnp.where(
+        valid, d - dmin, 0).astype(jnp.int32)), NC)
+
+    # rank within each (row, cluster) run — DEll rows are col-sorted,
+    # so same-cluster entries are contiguous
+    slots = jnp.arange(w, dtype=jnp.int32)[None, :]
+    prev_ecl = jnp.concatenate(
+        [jnp.full((n, 1), -1, jnp.int32), ecl[:, :-1]], axis=1)
+    newrun = valid & (ecl != prev_ecl)
+    run_first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, slots, 0), axis=1)
+    rank = slots - run_first
+
+    n_chunks = -(-n // CHUNK)
+    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[:, None]
+    flat_cc = jnp.where(valid, chunk * NC + ecl, n_chunks * NC)
+    m2 = jnp.zeros((n_chunks * NC,), jnp.int32).at[
+        flat_cc.reshape(-1)].max((rank + 1).reshape(-1), mode="drop")
+    m2 = m2.reshape(n_chunks, NC)
+    slot_start = jnp.concatenate(
+        [jnp.zeros((n_chunks, 1), jnp.int32),
+         jnp.cumsum(m2, axis=1)[:, :-1]], axis=1)
+    S_max = jnp.max(jnp.sum(m2, axis=1))
+    return ecl, rank, slot_start, S_max
+
+
+@partial(jax.jit, static_argnames=("NC", "G", "real_dtype"))
+def _stage_scatter(M, ecl, rank, slot_start, NC, G, real_dtype):
+    """Scatter into (chunk, slot, lane) layout; window bases, locs."""
+    n, w = M.cols.shape
+    valid = M.mask
+    S = 8 * G
+    n_chunks = -(-n // CHUNK)
+    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[:, None]
+    lane = (jnp.arange(n, dtype=jnp.int32) % CHUNK)[:, None]
+    slot = jnp.take(slot_start, chunk[:, 0], axis=0)     # (n, NC)
+    slot = jnp.take_along_axis(
+        slot, jnp.where(valid, jnp.minimum(ecl, NC - 1), 0),
+        axis=1) + rank
+    flat = jnp.where(valid,
+                     (chunk * S + slot) * CHUNK + lane,
+                     n_chunks * S * CHUNK)
+    col_arr = jnp.full((n_chunks * S * CHUNK,), -1, jnp.int32).at[
+        flat.reshape(-1)].set(M.cols.reshape(-1), mode="drop")
+    val_arr = jnp.zeros((n_chunks * S * CHUNK,),
+                        jnp.dtype(real_dtype)).at[
+        flat.reshape(-1)].set(
+            M.vals.astype(jnp.dtype(real_dtype)).reshape(-1),
+            mode="drop")
+    col_arr = col_arr.reshape(n_chunks, S, CHUNK)
+    val_arr = val_arr.reshape(n_chunks, S, CHUNK)
+
+    present = col_arr >= 0
+    used = jnp.any(present, axis=2)                      # (n_chunks, S)
+    cmin = jnp.min(jnp.where(present, col_arr, _BIG), axis=2)
+    cmax = jnp.max(jnp.where(present, col_arr, -1), axis=2)
+    base = jnp.where(used, cmin // 128, 0)
+    spread_max = jnp.max(jnp.where(used, cmax - base * 128, 0))
+    # unused slots reuse a used base from the same chunk so they do
+    # not widen the step windows
+    chunk_any = jnp.any(used, axis=1)
+    chunk_min = jnp.where(
+        chunk_any,
+        jnp.min(jnp.where(used, base, _BIG), axis=1), 0)
+    base = jnp.where(used, base, chunk_min[:, None])
+    locs = jnp.where(present, col_arr - base[:, :, None] * 128, 0) \
+        .astype(jnp.int16)
+    return locs, val_arr, base, spread_max
+
+
+def gstell_from_dell(M, real_dtype=None):
+    """Pack a device DEll matrix into GST-ELL on device.  Returns None
+    when the matrix does not fit the format limits (caller falls back
+    to dense/ELL).  Four XLA stage programs + a handful of scalar
+    syncs; the only bulk host transfer is the O(n_chunks*S) window-base
+    array for band scheduling."""
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.setup.device_amg import DEll
+
+    assert isinstance(M, DEll)
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    n, w = M.cols.shape
+    n_cols = M.n_cols
+    if n == 0 or w == 0:
+        return None
+    x_rows = max(-(-n_cols // 128), 1)
+
+    nnz_d, dmin_d, dmax_d = _stage_stats(M)
+    nnz, dmin, dmax = int(nnz_d), int(dmin_d), int(dmax_d)
+    if nnz == 0:
+        return None
+    span = dmax - dmin + 1
+    if span > (1 << 27):
+        return None
+
+    lut, ncl = _stage_cluster(M, span=span, dmin=dmin)
+    n_clusters = int(ncl)
+    if n_clusters > 8 * MAX_G:
+        return None
+
+    ecl, rank, slot_start, S_max_d = _stage_slots(
+        M, lut, span=span, dmin=dmin, NC=n_clusters)
+    S_max = int(S_max_d)
+    G = -(-S_max // 8)
+    if G == 0 or G > MAX_G:
+        return None
+    n_chunks = -(-n // CHUNK)
+    if n_chunks * 8 * G * CHUNK > max(16 * nnz, 1 << 20):
+        return None
+
+    locs, val_arr, base, spread_max_d = _stage_scatter(
+        M, ecl, rank, slot_start, NC=n_clusters, G=G,
+        real_dtype=jnp.dtype(real_dtype))
+    c = int(spread_max_d) // 128 + 1
+    max_c = MAX_C if nnz > 1_000_000 else 4 * MAX_C
+    if c > max_c:
+        return None
+
+    base_np = np.asarray(base).astype(np.int64)          # (n_chunks, S)
+    return _finish_pack(base_np, locs, val_arr, n_rows=int(n),
+                        n_cols=int(n_cols), c=int(c), G=int(G),
+                        x_rows=int(x_rows), nnz=nnz,
+                        real_dtype=real_dtype)
+
+
+@partial(jax.jit, static_argnames=("real_dtype",))
+def _ell_from_dell_jit(M, real_dtype):
+    valid = M.mask
+    cols = jnp.where(valid, M.cols, 0).T
+    vals = jnp.where(valid, M.vals, 0).astype(real_dtype).T
+    return cols, vals
+
+
+def ell_from_dell(M, real_dtype=None):
+    """DEll -> transposed EllMatrix on device (the jnp-gather fallback
+    format, ops/formats.EllMatrix pad convention col=0/val=0)."""
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.ops.formats import EllMatrix
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    cols, vals = _ell_from_dell_jit(M, jnp.dtype(real_dtype))
+    return EllMatrix(cols=cols, vals=vals, n_cols=int(M.n_cols))
+
+
+@partial(jax.jit, static_argnames=("rp", "cp", "real_dtype"))
+def _dense_from_dell_jit(M, rp, cp, real_dtype):
+    n = M.n_rows
+    valid = M.mask
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], M.cols.shape)
+    flat = jnp.where(valid, rows * cp + M.cols, rp * cp)
+    dense = jnp.zeros((rp * cp,), real_dtype).at[
+        flat.reshape(-1)].add(
+            M.vals.astype(real_dtype).reshape(-1), mode="drop")
+    return dense.reshape(rp, cp)
+
+
+def dense_from_dell(M, real_dtype=None):
+    """DEll -> 128-padded DenseMatrix on device (small coarse levels)."""
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.ops.formats import DenseMatrix
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    n, m = M.shape
+    rp = max(-(-n // 128) * 128, 128)
+    cp = max(-(-m // 128) * 128, 128)
+    dense = _dense_from_dell_jit(M, rp, cp, jnp.dtype(real_dtype))
+    return DenseMatrix(vals=dense, n_rows=int(n), n_cols=int(m))
+
+
+def sparse_op_from_dell(M, real_dtype=None, prefer_gstell: bool = True):
+    """Format dispatch for device-built operators (the device twin of
+    formats.sparse_op_from_scipy)."""
+    if max(M.shape) <= 2048 and min(M.shape) > 0:
+        return dense_from_dell(M, real_dtype)
+    if prefer_gstell:
+        Gm = gstell_from_dell(M, real_dtype)
+        if Gm is not None:
+            return Gm
+    return ell_from_dell(M, real_dtype)

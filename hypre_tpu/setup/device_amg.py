@@ -1,0 +1,797 @@
+"""Device-side AMG setup: the whole BoomerAMG setup phase as XLA
+programs over a padded row-major ELL operand, so the hierarchy is built
+ON the TPU with no host round-trips beyond per-level scalar metadata.
+
+This is the TPU-native analog of hypre's device setup path:
+  * strength               ref: src/parcsr_ls/par_strength.c:531 (host
+                           semantics), device par_strength_device.c
+  * PMIS                   ref: src/parcsr_ls/par_coarsen_device.c:30
+  * direct / ext+i interp  ref: src/parcsr_ls/par_interp.c:1948,
+                           par_lr_interp_device.c:1001
+  * truncation             ref: src/parcsr_mv/par_csr_matrix.c:2874
+  * SpGEMM / RAP           ref: src/seq_mv/csr_spgemm_device.c:15 (the
+                           hash-table SpGEMM becomes sort+segment-sum
+                           over bounded per-row candidate lists)
+  * transpose              ref: src/seq_mv/csr_matop_device.c (cusparse
+                           csr2csc analog via one global key sort)
+
+Everything here is pure jnp (runs on CPU for tests, TPU for real), uses
+static shapes only, and bounds memory with lax.map row-chunking.  The
+representation is `DEll`:
+
+  cols: int32[n, w]   column index per slot, **-1 in padding slots**
+  vals: real[n, w]    value per slot (0 in padding)
+  n_cols: static
+
+Rows keep their CSR column order (ascending), which the device GST-ELL
+packer (ops/gstell_device.py) relies on for window locality.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+C_PT = 1
+F_PT = -1
+SF_PT = -3
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cols", "vals"], meta_fields=["n_cols"])
+@dataclasses.dataclass(frozen=True)
+class DEll:
+    """Row-major padded ELL for device-side setup (pad col = -1)."""
+
+    cols: jax.Array          # int32 (n, w)
+    vals: jax.Array          # real (n, w)
+    n_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def mask(self) -> jax.Array:
+        return self.cols >= 0
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversions (tests + interop)
+# ---------------------------------------------------------------------------
+
+def dell_from_scipy(A, real_dtype=np.float32) -> DEll:
+    import scipy.sparse as sp  # noqa: F401
+
+    A = A.tocsr()
+    A.sort_indices()
+    n_rows, n_cols = A.shape
+    row_nnz = np.diff(A.indptr)
+    width = max(int(row_nnz.max(initial=0)), 1)
+    cols = np.full((n_rows, width), -1, dtype=np.int32)
+    vals = np.zeros((n_rows, width), dtype=np.dtype(real_dtype))
+    slot = np.arange(len(A.indices)) - np.repeat(A.indptr[:-1], row_nnz)
+    rows = np.repeat(np.arange(n_rows), row_nnz)
+    cols[rows, slot] = A.indices
+    vals[rows, slot] = A.data
+    return DEll(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+                n_cols=int(n_cols))
+
+
+def dell_to_scipy(M: DEll):
+    import scipy.sparse as sp
+
+    cols = np.asarray(M.cols)
+    vals = np.asarray(M.vals)
+    mask = cols >= 0
+    rows = np.broadcast_to(np.arange(M.n_rows)[:, None], cols.shape)
+    A = sp.csr_matrix(
+        (vals[mask].astype(np.float64), (rows[mask], cols[mask])),
+        shape=(M.n_rows, M.n_cols))
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+def dell_matvec(M: DEll, x: jax.Array) -> jax.Array:
+    """y = M @ x (setup-phase utility; the solve phase uses the packed
+    GST-ELL / DIA kernels, not this)."""
+    safe = jnp.where(M.mask, M.cols, 0)
+    g = jnp.take(x, safe, axis=0)
+    return jnp.sum(jnp.where(M.mask, M.vals * g, 0), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# device stencil generator (gen/laplace.py twin — no host matrix, no
+# tunnel transfer: the operator materializes directly in HBM)
+# ---------------------------------------------------------------------------
+
+def dell_stencil(shape, entries, dtype=jnp.float32) -> DEll:
+    """Stencil operator on an (nx, ny, nz) grid, x-fastest ordering,
+    Dirichlet truncation (semantics of gen/laplace.py stencil_matrix,
+    ref: src/parcsr_ls/par_laplace.c:63)."""
+    nx, ny, nz = shape
+    n = nx * ny * nz
+    ents = sorted(((d, v) for d, v in entries if v != 0.0),
+                  key=lambda e: e[0][0] + nx * (e[0][1] + ny * e[0][2]))
+    K = len(ents)
+    lin = jnp.arange(n, dtype=jnp.int32)
+    x = lin % nx
+    y = (lin // nx) % ny
+    z = lin // (nx * ny)
+    cols = []
+    vals = []
+    for (dx, dy, dz), v in ents:
+        ok = ((x + dx >= 0) & (x + dx < nx) & (y + dy >= 0)
+              & (y + dy < ny) & (z + dz >= 0) & (z + dz < nz))
+        disp = dx + nx * (dy + ny * dz)
+        cols.append(jnp.where(ok, lin + disp, -1))
+        vals.append(jnp.where(ok, jnp.asarray(v, dtype), 0))
+    cols = jnp.stack(cols, axis=1)
+    vals = jnp.stack(vals, axis=1)
+    # compact valid entries to the left so column order is the CSR
+    # (ascending) order: stable sort by (invalid, col)
+    key = jnp.where(cols >= 0, cols, jnp.int32(2**30))
+    order = jnp.argsort(key, axis=1)
+    cols = jnp.take_along_axis(cols, order, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    return DEll(cols=cols, vals=vals, n_cols=n)
+
+
+def dell_laplacian(nx, ny, nz=1, cx=1.0, cy=1.0, cz=1.0,
+                   dtype=jnp.float32) -> DEll:
+    """7-pt (5-pt in 2D) Laplacian, matching gen.laplacian."""
+    diag = 0.0
+    entries = []
+    if nx > 1:
+        diag += 2 * cx
+        entries += [((-1, 0, 0), -cx), ((1, 0, 0), -cx)]
+    if ny > 1:
+        diag += 2 * cy
+        entries += [((0, -1, 0), -cy), ((0, 1, 0), -cy)]
+    if nz > 1:
+        diag += 2 * cz
+        entries += [((0, 0, -1), -cz), ((0, 0, 1), -cz)]
+    entries.append(((0, 0, 0), diag))
+    return dell_stencil((nx, ny, nz), entries, dtype)
+
+
+# ---------------------------------------------------------------------------
+# strength of connection (strength.py twin)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("theta", "max_row_sum", "abs_soc"))
+def device_strength(A: DEll, theta: float = 0.25,
+                    max_row_sum: float = 0.9,
+                    abs_soc: bool = False) -> jax.Array:
+    """Boolean strong mask (n, w) over A's slots.  Semantics of
+    hypre_BoomerAMGCreateS (ref: src/parcsr_ls/par_strength.c:531).
+
+    Jitted with static knobs: on the axon tunnel every eager op is a
+    dispatch round-trip, so each setup stage must be ONE program."""
+    n = A.n_rows
+    row = jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    valid = A.mask
+    is_diag = valid & (A.cols == row)
+    offd = valid & ~is_diag
+    v64 = A.vals
+    diag = jnp.sum(jnp.where(is_diag, v64, 0), axis=1)
+    big = jnp.asarray(jnp.finfo(v64.dtype).max, v64.dtype)
+    scale_max = jnp.max(jnp.where(offd, v64, -big), axis=1)
+    scale_min = jnp.min(jnp.where(offd, v64, big), axis=1)
+    d_neg = diag < 0
+    row_scale = jnp.where(d_neg, scale_max, scale_min)
+    row_sum = jnp.sum(jnp.where(valid, v64, 0), axis=1)
+    if max_row_sum < 1.0:
+        weak_all = jnp.abs(row_sum) > jnp.abs(diag) * max_row_sum
+    else:
+        weak_all = jnp.zeros((n,), bool)
+    if abs_soc:
+        abs_scale = jnp.max(jnp.where(offd, jnp.abs(v64), 0), axis=1)
+        strong = jnp.abs(v64) >= theta * abs_scale[:, None]
+    else:
+        thresh = (theta * row_scale)[:, None]
+        strong = jnp.where(d_neg[:, None], v64 > thresh, v64 < thresh)
+    return strong & offd & ~weak_all[:, None]
+
+
+# ---------------------------------------------------------------------------
+# PMIS coarsening (coarsen.py twin; 32-bit measure hash)
+# ---------------------------------------------------------------------------
+
+def _fmix32(h):
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def pmis_hash32(ids, seed: int):
+    """Deterministic [0, 1) hash of the global row id (murmur3 fmix32
+    finalizer).  The 32-bit twin of setup/utils.pmis_hash — exactly
+    representable in f32 (top 24 bits), so the device PMIS is
+    bit-reproducible across CPU/TPU and any sharding."""
+    h = _fmix32(ids.astype(jnp.uint32) + jnp.uint32(seed & 0xFFFFFFFF))
+    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+def pmis_hash32_np(ids: np.ndarray, seed: int) -> np.ndarray:
+    h = ids.astype(np.uint32) + np.uint32(seed & 0xFFFFFFFF)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return (h >> np.uint32(8)).astype(np.float32) / np.float32(1 << 24)
+
+
+@partial(jax.jit, static_argnames=("seed",))
+def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
+                global_ids: jax.Array | None = None) -> jax.Array:
+    """CF marker (C_PT/F_PT/SF_PT) via PMIS.  Mirrors setup/coarsen.pmis
+    (ref: src/parcsr_ls/par_coarsen.c:2101) with the 32-bit hash;
+    ties additionally broken by global id so the selection loop always
+    terminates."""
+    n = cols.shape[0]
+    if global_ids is None:
+        global_ids = jnp.arange(n, dtype=jnp.int32)
+    scols = jnp.where(strong, cols, n)          # n = dropped in scatters
+    gcols = jnp.where(strong, cols, 0)          # 0 = safe gather index
+
+    # measure = |S^T column| + hash
+    ones = strong.astype(jnp.float32)
+    st_deg = jnp.zeros((n,), jnp.float32).at[scols.reshape(-1)].add(
+        ones.reshape(-1), mode="drop")
+    measure = st_deg + pmis_hash32(global_ids, seed)
+
+    isolated = ~jnp.any(strong, axis=1)
+    cf0 = jnp.where(isolated, jnp.int32(SF_PT), jnp.int32(0))
+    measure = jnp.where(isolated, 0.0, measure)
+    gid = global_ids
+
+    def cond(state):
+        cf, m = state
+        return jnp.any(cf == 0)
+
+    def body(state):
+        cf, m = state
+        un = cf == 0
+        cand = un & (m > 1.0)
+        cand_j = jnp.take(cand, gcols) & strong
+        m_j = jnp.take(m, gcols)
+        gid_j = jnp.take(gid, gcols)
+        beats_me = (m_j > m[:, None]) | ((m_j == m[:, None])
+                                         & (gid_j > gid[:, None]))
+        out_row = jnp.any(cand_j & cand[:, None] & beats_me, axis=1)
+        # scatter side: i beats j along edge (i, j)
+        i_beats = (cand[:, None] & cand_j
+                   & ((m[:, None] > m_j) | ((m[:, None] == m_j)
+                                            & (gid[:, None] > gid_j))))
+        out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
+            i_beats.reshape(-1), mode="drop")
+        new_c = cand & ~(out_row | out_sc)
+        cf = jnp.where(new_c, jnp.int32(C_PT), cf)
+
+        low = un & (m < 1.0)
+        cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
+
+        is_c = cf == C_PT
+        has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=1)
+        make_f = un & ~new_c & ~low & has_c_dep
+        cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
+
+        m = jnp.where(un & (cf != 0), 0.0, m)
+        return cf, m
+
+    cf, _ = jax.lax.while_loop(cond, body, (cf0, measure))
+    return cf
+
+
+# ---------------------------------------------------------------------------
+# interpolation (interp.py / interp_ext.py twins)
+# ---------------------------------------------------------------------------
+
+def _row_diag(A: DEll):
+    row = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
+    is_diag = A.mask & (A.cols == row)
+    return jnp.sum(jnp.where(is_diag, A.vals, 0), axis=1), is_diag
+
+
+@partial(jax.jit,
+         static_argnames=("n_coarse", "trunc_factor", "max_elmts"))
+def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
+                         n_coarse: int = -1,
+                         trunc_factor: float = 0.0,
+                         max_elmts: int = 4) -> DEll:
+    """Direct interpolation (type 3), semantics of
+    hypre_BoomerAMGBuildDirInterp (ref: src/parcsr_ls/par_interp.c:
+    1948-2500) — see setup/interp.direct_interp for the host twin.
+    n_coarse must be supplied (static) by the caller, which already
+    synced it to decide whether to keep coarsening."""
+    n, w = A.cols.shape
+    is_c = cf == C_PT
+    cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+
+    diag, is_diag = _row_diag(A)
+    valid = A.mask
+    offd = valid & ~is_diag
+    gcols = jnp.where(valid, A.cols, 0)
+    col_is_c = jnp.take(is_c, gcols) & valid
+    strong_c = strong & col_is_c
+    pos = A.vals > 0
+    neg = A.vals < 0
+
+    sum_n_neg = jnp.sum(jnp.where(offd & neg, A.vals, 0), axis=1)
+    sum_n_pos = jnp.sum(jnp.where(offd & pos, A.vals, 0), axis=1)
+    sum_p_neg = jnp.sum(jnp.where(strong_c & neg, A.vals, 0), axis=1)
+    sum_p_pos = jnp.sum(jnp.where(strong_c & pos, A.vals, 0), axis=1)
+    alfa = jnp.where(sum_p_neg != 0, sum_n_neg / jnp.where(
+        sum_p_neg != 0, sum_p_neg * diag, 1.0), 1.0)
+    beta = jnp.where(sum_p_pos != 0, sum_n_pos / jnp.where(
+        sum_p_pos != 0, sum_p_pos * diag, 1.0), 1.0)
+
+    f_row = ~is_c & (cf != 0)
+    sel = strong_c & f_row[:, None]
+    pv = jnp.where(A.vals < 0, -alfa[:, None] * A.vals,
+                   -beta[:, None] * A.vals)
+    pc = jnp.where(sel, jnp.take(cmap, gcols), -1)
+    pv = jnp.where(sel, pv, 0)
+
+    # C rows interpolate identity
+    ident_c = jnp.concatenate(
+        [cmap[:, None], jnp.full((n, w - 1), -1, jnp.int32)], axis=1) \
+        if w > 1 else cmap[:, None]
+    ident_v = jnp.concatenate(
+        [jnp.ones((n, 1), A.vals.dtype), jnp.zeros((n, w - 1),
+                                                   A.vals.dtype)],
+        axis=1) if w > 1 else jnp.ones((n, 1), A.vals.dtype)
+    pc = jnp.where(is_c[:, None], ident_c, pc)
+    pv = jnp.where(is_c[:, None], ident_v, pv)
+    P = DEll(cols=pc, vals=pv, n_cols=int(n_coarse))
+    if trunc_factor > 0.0 or (0 < max_elmts < w):
+        P = device_truncate(P, trunc_factor, max_elmts)
+    return P
+
+
+@partial(jax.jit, static_argnames=("n_coarse", "trunc_factor",
+                                   "max_elmts", "chunk"))
+def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
+                        n_coarse: int = -1,
+                        trunc_factor: float = 0.0, max_elmts: int = 4,
+                        chunk: int = 32768) -> DEll:
+    """Extended+i interpolation (type 6), semantics of
+    hypre_BoomerAMGBuildExtPIInterp (ref: src/parcsr_ls/par_lr_interp.c:
+    1024-1800; device variant par_lr_interp_device.c:1001) — see
+    setup/interp_ext.extpi_interp for the host twin.
+
+    Per row-chunk: the distance-2 pattern Ĉ_i is a sorted (with
+    duplicates) candidate list of width w(1+w); membership tests are
+    vmapped binary searches against it; the distribution term expands
+    each strong-F edge over its neighbor row (w² candidates), and the
+    chunk compacts + truncates before writing out, so peak memory is
+    O(chunk · w²), never O(n · w²)."""
+    n, w = A.cols.shape
+    is_c = cf == C_PT
+    is_f = cf == F_PT
+    cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+    diag, _ = _row_diag(A)
+    valid_all = A.mask
+    gcols_all = jnp.where(valid_all, A.cols, 0)
+    strong_c_all = strong & jnp.take(is_c, gcols_all)
+    sign_diag = jnp.sign(diag)
+
+    out_w = max_elmts if (0 < max_elmts) else w * (1 + w)
+    wc = w * (1 + w)
+
+    # the chunk body needs the global row index for diagonal tests and
+    # the "+i" self term, so chunking is done manually (not _chunked)
+    n_pad = -(-n // chunk) * chunk
+    pad1 = lambda a, pv: jnp.pad(
+        a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1), constant_values=pv)
+    colsP = pad1(A.cols, -1).reshape(-1, chunk, w)
+    valsP = pad1(A.vals, 0).reshape(-1, chunk, w)
+    strgP = pad1(strong, False).reshape(-1, chunk, w)
+    cfP = pad1(cf, SF_PT).reshape(-1, chunk)
+    diagP = pad1(diag, 1.0).reshape(-1, chunk)
+    gidP = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
+
+    real = A.vals.dtype
+
+    def chunk_fn(args):
+        cols, vals, strg, cfch, diagch, gid = args
+        m = cols.shape[0]
+        valid = cols >= 0
+        gcols = jnp.where(valid, cols, 0)
+        col_is_c = jnp.take(is_c, gcols) & valid
+        col_is_f = jnp.take(is_f, gcols) & valid
+        col_is_sf = (jnp.take(cf, gcols) == SF_PT) & valid
+        sc = strg & col_is_c
+        sf = strg & col_is_f
+        f_row = cfch == F_PT
+        is_diag_slot = valid & (cols == gid[:, None])
+        offd = valid & ~is_diag_slot
+
+        # ---- Ĉ: sorted candidate list (duplicates fine) ------------
+        cand1 = jnp.where(sc, cols, _BIG)
+        nb_cols = jnp.take(A.cols, gcols, axis=0)        # (m, w, w)
+        nb_valid = nb_cols >= 0
+        nb_sc = jnp.take(strong_c_all, gcols, axis=0) & nb_valid
+        cand2 = jnp.where(sf[:, :, None] & nb_sc, nb_cols, _BIG)
+        chat = jnp.sort(jnp.concatenate(
+            [cand1, cand2.reshape(m, w * w)], axis=1), axis=1)
+        has_chat = chat[:, 0] < _BIG
+
+        def member(queries):
+            pos = jax.vmap(
+                lambda ch, q: jnp.searchsorted(ch, q))(chat, queries)
+            pos = jnp.minimum(pos, wc - 1)
+            return (jnp.take_along_axis(chat, pos, axis=1) == queries) \
+                & (queries < _BIG)
+
+        # ---- direct: A entries with col in Ĉ -----------------------
+        q_direct = jnp.where(offd, cols, _BIG)
+        direct_sel = offd & f_row[:, None] & member(q_direct)
+        d = diagch
+
+        # ---- weak: offd, not direct, not strong-F, not SF ----------
+        weak_sel = (offd & f_row[:, None] & ~direct_sel & ~sf
+                    & ~col_is_sf)
+        d = d + jnp.sum(jnp.where(weak_sel, vals, 0), axis=1)
+
+        # ---- distribution over strong-F neighbors ------------------
+        # expand row k of A for each strong-F slot k: (m, w, w)
+        t_l = nb_cols
+        t_valid = nb_valid & sf[:, :, None]
+        t_a = jnp.take(A.vals, gcols, axis=0)
+        k_diag_sign = jnp.take(sign_diag, gcols)         # (m, w)
+        not_diag = t_l != gcols[:, :, None]
+        sign_ok = (k_diag_sign[:, :, None] * t_a) < 0
+        memb = member(jnp.where(t_valid, t_l, _BIG).reshape(
+            m, w * w)).reshape(m, w, w)
+        is_self = t_l == gid[:, None, None]
+        in_den = t_valid & not_diag & sign_ok & (memb | is_self)
+
+        denom = jnp.sum(jnp.where(in_den, t_a, 0), axis=2)   # (m, w)
+        has_den = denom != 0
+        a_ik = jnp.where(sf, vals, 0)
+        dist = jnp.where(has_den, a_ik / jnp.where(has_den, denom, 1.0),
+                         0.0)
+        # s == 0: a_ik to the diagonal
+        d = d + jnp.sum(jnp.where(sf & ~has_den, vals, 0), axis=1)
+        # "+i" self term
+        self_sel = in_den & is_self & has_den[:, :, None]
+        d = d + jnp.sum(jnp.where(self_sel, dist[:, :, None] * t_a, 0),
+                        axis=(1, 2))
+
+        contrib_sel = in_den & memb & has_den[:, :, None]
+        contrib_v = jnp.where(contrib_sel, dist[:, :, None] * t_a, 0)
+        contrib_c = jnp.where(contrib_sel, t_l, -1)
+
+        # ---- assemble, normalize, truncate -------------------------
+        cand_c = jnp.concatenate(
+            [jnp.where(direct_sel, cols, -1),
+             contrib_c.reshape(m, w * w)], axis=1)
+        cand_v = jnp.concatenate(
+            [jnp.where(direct_sel, vals, 0),
+             contrib_v.reshape(m, w * w)], axis=1)
+        pc, pv = _row_compact(cand_c, cand_v, wc)
+        dsafe = jnp.where(d != 0, -d, 1.0)
+        pv = pv / dsafe[:, None]
+
+        # C identity rows; SF rows stay empty
+        row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) & (gid < n)
+        first = jnp.concatenate(
+            [jnp.ones((m, 1), bool), jnp.zeros((m, wc - 1), bool)],
+            axis=1)
+        pc = jnp.where(row_is_c[:, None],
+                       jnp.where(first, gid[:, None], -1), pc)
+        pv = jnp.where(row_is_c[:, None],
+                       jnp.where(first, jnp.asarray(1.0, real), 0), pv)
+        Pch = DEll(cols=pc, vals=pv, n_cols=n)
+        if trunc_factor > 0.0 or (0 < max_elmts < wc):
+            Pch = device_truncate(Pch, trunc_factor, max_elmts)
+        return Pch.cols, Pch.vals
+
+    pcols, pvals = jax.lax.map(
+        chunk_fn, (colsP, valsP, strgP, cfP, diagP, gidP))
+    pcols = pcols.reshape(n_pad, -1)[:n]
+    pvals = pvals.reshape(n_pad, -1)[:n]
+    # fine-col -> coarse-col renumbering
+    pcols = jnp.where(pcols >= 0,
+                      jnp.take(cmap, jnp.where(pcols >= 0, pcols, 0)),
+                      -1)
+    return DEll(cols=pcols, vals=pvals, n_cols=n_coarse)
+
+
+def device_rap(A: DEll, P: DEll, chunk: int = 65536):
+    """Galerkin triple product Ac = P^T (A P) on device."""
+    w_ap = device_spgemm_width(A, P, chunk)
+    AP = device_spgemm(A, P, w_ap, chunk)
+    w_pt = device_transpose_width(P)
+    PT = device_transpose(P, w_pt)
+    w_ac = device_spgemm_width(PT, AP, max(chunk // 4, 8192))
+    Ac = device_spgemm(PT, AP, w_ac, max(chunk // 4, 8192))
+    return Ac, PT
+
+
+# ---------------------------------------------------------------------------
+# level loop (amg.py iter_host_hierarchy twin, fully on device)
+# ---------------------------------------------------------------------------
+
+def iter_device_hierarchy(A: DEll, cfg):
+    """Device-resident AMG setup level loop (ref: src/parcsr_ls/
+    par_amg_setup.c:29 — the level driver; every kernel above runs on
+    the accelerator).  Yields (A_l, P_l, R_l = P^T, cf_l) per level,
+    then the coarsest A.  Host involvement is limited to per-level
+    scalar metadata (coarse size, output widths) — a few ms of sync
+    per level, no matrix ever copied to the host."""
+    Al = A
+    for _level in range(cfg.max_levels - 1):
+        n = Al.n_rows
+        if n <= cfg.max_coarse_size:
+            break
+        strong = device_strength(Al, cfg.strong_threshold,
+                                 cfg.max_row_sum)
+        cf = device_pmis(Al.cols, strong, seed=cfg.seed)
+        n_coarse = int(jnp.sum(cf == C_PT))
+        if n_coarse == 0 or n_coarse == n:
+            break
+        chunk = _interp_chunk(Al.width)
+        if cfg.interp_type == 3:
+            P = device_direct_interp(Al, strong, cf,
+                                     n_coarse=n_coarse,
+                                     trunc_factor=cfg.trunc_factor,
+                                     max_elmts=cfg.p_max_elmts)
+        else:
+            P = device_extpi_interp(Al, strong, cf,
+                                    n_coarse=n_coarse,
+                                    trunc_factor=cfg.trunc_factor,
+                                    max_elmts=cfg.p_max_elmts,
+                                    chunk=chunk)
+        Ac, PT = device_rap(Al, P, chunk=_rap_chunk(Al.width, P.width))
+        yield (Al, P, PT, cf)
+        Al = Ac
+    yield Al
+
+
+def _interp_chunk(w: int, budget: int = 1 << 27) -> int:
+    """Row-chunk size bounding the (chunk, w^2) candidate buffers to
+    ~budget bytes (x ~6 live arrays)."""
+    per_row = max(w * w, 1) * 8
+    c = budget // per_row
+    return int(max(4096, min(1 << 18, 1 << (c.bit_length() - 1))))
+
+
+def _rap_chunk(wa: int, wp: int, budget: int = 1 << 27) -> int:
+    per_row = max(wa * wp, 1) * 8
+    c = budget // per_row
+    return int(max(4096, min(1 << 18, 1 << (c.bit_length() - 1))))
+
+
+# ---------------------------------------------------------------------------
+# l1 norms (setup/l1norms.py twin)
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# transpose / SpGEMM / truncation — the device matrix algebra
+# ---------------------------------------------------------------------------
+
+_BIG = np.int32(2**30)  # numpy scalar: no backend init at import
+
+
+def _row_compact(cand_cols, cand_vals, out_width):
+    """Per-row dedup: sort candidate (col, val) slots by col, sum runs
+    of equal cols, compact to `out_width` slots (ascending cols).
+
+    cand_cols int32 (m, k) with -1 padding; cand_vals (m, k).
+    Returns (cols (m, out_width), vals (m, out_width)).
+    """
+    m, k = cand_cols.shape
+    key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
+    order = jnp.argsort(key, axis=1)
+    sc = jnp.take_along_axis(cand_cols, order, axis=1)
+    sv = jnp.take_along_axis(cand_vals, order, axis=1)
+    valid = sc >= 0
+    new = valid & jnp.concatenate(
+        [jnp.ones((m, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
+    slot = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    # entries beyond out_width land in the per-row sentinel slot and
+    # are dropped — callers size out_width via *_width() so this only
+    # clamps, never truncates in practice
+    slot = jnp.where(valid, jnp.minimum(slot, out_width), out_width)
+    rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
+    flat = rows * (out_width + 1) + slot
+    out_v = jnp.zeros((m * (out_width + 1),), cand_vals.dtype).at[
+        flat.reshape(-1)].add(sv.reshape(-1), mode="drop")
+    out_c = jnp.full((m * (out_width + 1),), -1, jnp.int32).at[
+        flat.reshape(-1)].max(sc.reshape(-1), mode="drop")
+    out_v = out_v.reshape(m, out_width + 1)[:, :out_width]
+    out_c = out_c.reshape(m, out_width + 1)[:, :out_width]
+    return jnp.where(out_c >= 0, out_c, -1), jnp.where(out_c >= 0, out_v, 0)
+
+
+def _row_distinct_count(cand_cols):
+    """Number of distinct valid cols per row (for output-width sizing)."""
+    m, k = cand_cols.shape
+    key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
+    sc = jnp.sort(key, axis=1)
+    valid = sc < _BIG
+    new = valid & jnp.concatenate(
+        [jnp.ones((m, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
+    return jnp.sum(new.astype(jnp.int32), axis=1)
+
+
+def _chunked(fn, n, chunk, pad_args, out_builder=None):
+    """Apply fn over row-chunks of the leading axis via lax.map."""
+    n_pad = -(-n // chunk) * chunk
+    padded = [jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1),
+                      constant_values=pv)
+              for a, pv in pad_args]
+    stacked = [a.reshape(n_pad // chunk, chunk, *a.shape[1:])
+               for a in padded]
+    out = jax.lax.map(fn, tuple(stacked))
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape(n_pad, *o.shape[2:])[:n], out)
+
+
+def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
+    """Max distinct cols of any row of A @ B (host int; one sync)."""
+    return int(_spgemm_width_dev(A, B, chunk=chunk))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _spgemm_width_dev(A: DEll, B: DEll, chunk: int = 65536):
+    n, wa, wb = A.n_rows, A.width, B.width
+    n_pad = -(-n // chunk) * chunk
+    ac_all = jnp.pad(A.cols, ((0, n_pad - n), (0, 0)),
+                     constant_values=-1).reshape(n_pad // chunk, chunk, wa)
+
+    def f(ac):
+        safe = jnp.where(ac >= 0, ac, 0)
+        bc = jnp.take(B.cols, safe, axis=0)              # (chunk, wa, wb)
+        bc = jnp.where(ac[:, :, None] >= 0, bc, -1)
+        return jnp.max(_row_distinct_count(bc.reshape(chunk, wa * wb)))
+
+    return jnp.max(jax.lax.map(f, ac_all))
+
+
+@partial(jax.jit, static_argnames=("out_width", "chunk"))
+def device_spgemm(A: DEll, B: DEll, out_width: int,
+                  chunk: int = 65536) -> DEll:
+    """C = A @ B (ref: src/seq_mv/csr_spgemm_device.c:15 — the two-pass
+    hash SpGEMM becomes gather + per-row sort + segment-sum, chunked to
+    bound the (chunk, wa*wb) candidate buffer)."""
+    wa, wb = A.width, B.width
+
+    def f(args):
+        ac, av = args
+        safe = jnp.where(ac >= 0, ac, 0)
+        bc = jnp.take(B.cols, safe, axis=0)              # (chunk, wa, wb)
+        bv = jnp.take(B.vals, safe, axis=0)
+        bc = jnp.where(ac[:, :, None] >= 0, bc, -1)
+        bv = bv * av[:, :, None]
+        return _row_compact(bc.reshape(chunk, wa * wb),
+                            bv.reshape(chunk, wa * wb), out_width)
+
+    cols, vals = _chunked(f, A.n_rows, chunk,
+                          [(A.cols, -1), (A.vals, 0)])
+    return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
+
+
+def device_transpose_width(M: DEll) -> int:
+    """Max entries in any column of M (host int; one sync)."""
+    return int(_transpose_width_dev(M)) if M.n_cols else 1
+
+
+@jax.jit
+def _transpose_width_dev(M: DEll):
+    scols = jnp.where(M.mask, M.cols, M.n_cols)
+    counts = jnp.zeros((M.n_cols + 1,), jnp.int32).at[
+        scols.reshape(-1)].add(1, mode="drop")
+    return jnp.max(counts[:M.n_cols])
+
+
+@partial(jax.jit, static_argnames=("out_width",))
+def device_transpose(M: DEll, out_width: int) -> DEll:
+    """M^T via one global stable col-key sort (the cusparse csr2csc
+    analog, ref: src/seq_mv/csr_matop_device.c).  The row-major flatten
+    order makes the stable sort group each column's entries in
+    ascending-row order, so the output rows come out CSR-sorted —
+    no 64-bit composite key needed (TPU has no fast int64)."""
+    n, w = M.cols.shape
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, w)).reshape(-1)
+    cols = M.cols.reshape(-1)
+    valid = cols >= 0
+    key = jnp.where(valid, cols, _BIG)
+    order = jnp.argsort(key, stable=True)
+    scol = key[order]
+    srow = rows[order]
+    sval = M.vals.reshape(-1)[order]
+    svalid = scol < _BIG
+    # slot within the output row = position since that col's first entry
+    newrow = svalid & jnp.concatenate(
+        [jnp.ones((1,), bool), scol[1:] != scol[:-1]])
+    idx = jnp.arange(scol.shape[0], dtype=jnp.int32)
+    start = jnp.where(newrow, idx, 0)
+    start = jax.lax.associative_scan(jnp.maximum, start)
+    slot = idx - start
+    out_row = jnp.where(svalid, scol, M.n_cols)
+    flat = out_row * out_width + jnp.minimum(slot, out_width - 1)
+    flat = jnp.where(svalid, flat, M.n_cols * out_width)
+    oc = jnp.full((M.n_cols * out_width,), -1, jnp.int32).at[flat].set(
+        srow, mode="drop")
+    ov = jnp.zeros((M.n_cols * out_width,), M.vals.dtype).at[flat].set(
+        sval, mode="drop")
+    return DEll(cols=oc.reshape(M.n_cols, out_width),
+                vals=ov.reshape(M.n_cols, out_width), n_cols=n)
+
+
+@partial(jax.jit, static_argnames=("trunc_factor", "max_elmts"))
+def device_truncate(P: DEll, trunc_factor: float, max_elmts: int) -> DEll:
+    """Interpolation truncation (ref: src/parcsr_mv/par_csr_matrix.c:
+    2874): drop entries below trunc_factor * row-inf-norm, keep the
+    max_elmts largest by magnitude, rescale to preserve row sums.
+    Output width = max_elmts (static compaction)."""
+    n, w = P.cols.shape
+    vals = jnp.where(P.mask, P.vals, 0)
+    absv = jnp.abs(vals)
+    keep = P.mask
+    if trunc_factor > 0.0:
+        row_nrm = jnp.max(absv, axis=1)
+        keep = keep & (absv >= trunc_factor * row_nrm[:, None])
+    kw = w
+    if max_elmts > 0 and max_elmts < w:
+        kw = max_elmts
+        # rank by descending magnitude among kept entries
+        mag = jnp.where(keep, absv, -1.0)
+        _, top_idx = jax.lax.top_k(mag, kw)            # (n, kw)
+        sel = jnp.zeros((n, w), bool).at[
+            jnp.arange(n)[:, None], top_idx].set(True)
+        keep = keep & sel
+    row_sum = jnp.sum(vals, axis=1)
+    kept_sum = jnp.sum(jnp.where(keep, vals, 0), axis=1)
+    scale = jnp.where(kept_sum != 0, row_sum / kept_sum, 1.0)
+    newv = jnp.where(keep, vals * scale[:, None], 0)
+    newc = jnp.where(keep, P.cols, _BIG)
+    # compact kept entries left (ascending col order preserved)
+    order = jnp.argsort(newc, axis=1)
+    newc = jnp.take_along_axis(newc, order, axis=1)[:, :kw]
+    newv = jnp.take_along_axis(newv, order, axis=1)[:, :kw]
+    return DEll(cols=jnp.where(newc < _BIG, newc, -1).astype(jnp.int32),
+                vals=jnp.where(newc < _BIG, newv, 0), n_cols=P.n_cols)
+
+
+@partial(jax.jit, static_argnames=("option",))
+def device_l1_norms(A: DEll, option: int = 1) -> jax.Array:
+    """Smoother l1 row norms, matching setup/l1norms.l1_norms on a
+    single shard (ref: src/parcsr_ls/ams.c:628-760): option 1 = full
+    row l1; option 4 without off-process couplings truncates to |a_ii|;
+    option 5 = plain diagonal."""
+    n = A.n_rows
+    row = jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    valid = A.mask
+    is_diag = valid & (A.cols == row)
+    diag = jnp.sum(jnp.where(is_diag, A.vals, 0), axis=1)
+    if option == 5:
+        l1 = diag
+    elif option == 4:
+        l1 = jnp.abs(diag)
+        l1 = jnp.where(diag < 0, -l1, l1)
+    else:
+        l1 = jnp.sum(jnp.where(valid, jnp.abs(A.vals), 0), axis=1)
+        l1 = jnp.where(diag < 0, -l1, l1)
+    return jnp.where(l1 != 0, l1, 1.0)

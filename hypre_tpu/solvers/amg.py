@@ -312,9 +312,10 @@ class BoomerAMG:
             # csrsv2 level-scheduling analog, ops/trisolve.py).
             dl1 = l1_norms(Ah, self._l1_option())
             if Ah.shape[0] <= cfg.exact_gs_max:
-                dense_a = Ah.toarray().astype(real)
-                lo = np.tril(dense_a, -1)
-                up = np.triu(dense_a, 1)
+                # build the triangular factors sparsely (O(nnz) fills;
+                # dense np.tril/triu cost two extra n^2 passes each)
+                lo = sp.tril(Ah, -1).toarray().astype(real, copy=False)
+                up = sp.triu(Ah, 1).toarray().astype(real, copy=False)
                 np.fill_diagonal(lo, dl1.astype(real))
                 np.fill_diagonal(up, dl1.astype(real))
                 gs_lo = jnp.asarray(lo)
@@ -343,6 +344,148 @@ class BoomerAMG:
             c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
             gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up, add_dinv=add_dinv,
         )
+
+    # -- device-resident setup -----------------------------------------
+
+    def setup_device(self, A=None, *, stencil=None) -> "BoomerAMG":
+        """Device-resident setup: the whole BoomerAMG setup phase runs
+        as XLA programs (setup/device_amg.py builds the hierarchy,
+        ops/gstell_device.py packs each level into the solve format) —
+        the TPU analog of hypre's device setup path (ref:
+        src/parcsr_ls/par_amg_setup.c:29 with exec policy DEVICE).  The
+        host sees only per-level scalar metadata.
+
+        A: scipy matrix (one transfer) or a device_amg.DEll; or pass
+        stencil=(shape, entries) to also *generate* the fine operator
+        on device (ref: par_laplace.c:63) — then the fine level packs
+        analytically with zero transfer (gstell_from_stencil).
+
+        Device relax support: 18/0/7 (l1/weighted Jacobi), 16
+        (Chebyshev), 11/12 (two-stage GS).  The exact-GS types
+        (3/4/6/8/13/14) need host factorization — use setup().
+        """
+        import sys
+        import time as _time
+
+        from hypre_tpu.ops.gstell import gstell_from_stencil
+        from hypre_tpu.ops.gstell_device import (
+            dense_from_dell, sparse_op_from_dell,
+        )
+        from hypre_tpu.setup import device_amg as dev
+
+        cfg = self.config
+        if cfg.relax_type not in (18, 0, 7, 16, 11, 12):
+            raise ValueError(
+                f"relax_type {cfg.relax_type} needs host factorization;"
+                " use setup()")
+        real = get_config().np_real
+        t0 = _time.time()
+
+        def trace(msg):
+            if cfg.print_level >= 1:
+                print(f"  [amg setup +{_time.time() - t0:7.1f}s] {msg}",
+                      file=sys.stderr, flush=True)
+
+        fine_gst = None
+        if stencil is not None:
+            shape, entries = stencil
+            A = dev.dell_stencil(shape, entries, dtype=jnp.dtype(real))
+            fine_gst = gstell_from_stencil(shape, entries, real)
+            trace("fine operator generated on device")
+        elif not isinstance(A, dev.DEll):
+            A = dev.dell_from_scipy(A, real)
+
+        dev_levels = []
+        self.level_sizes = []
+        self.level_nnz = []
+        Al_final = None
+        lvl_no = 0
+        for item in dev.iter_device_hierarchy(A, cfg):
+            if isinstance(item, tuple):
+                Al, P, PT, cf = item
+                self.level_sizes.append(Al.n_rows)
+                self.level_nnz.append(int(jnp.sum(Al.mask)))
+                A_op = fine_gst if (lvl_no == 0 and fine_gst is not None) \
+                    else sparse_op_from_dell(Al, real)
+                dev_levels.append(self._build_dev_level_dell(
+                    Al, P, PT, cf, A_op))
+                trace(f"level {lvl_no} built+packed "
+                      f"(n={Al.n_rows}, nnz={self.level_nnz[-1]}, "
+                      f"fmt={type(A_op).__name__})")
+                lvl_no += 1
+            else:
+                Al_final = item
+
+        # coarsest level: dense LU on device
+        self.level_sizes.append(Al_final.n_rows)
+        self.level_nnz.append(int(jnp.sum(Al_final.mask)))
+        Dc = dense_from_dell(Al_final, real)
+        dev_levels.append(AmgLevel(
+            A=Dc, P=None, R=None, dinv=None,
+            add_dinv=self._additive_dinv_dell(Al_final, real)))
+        nc = Al_final.n_rows
+        c_lu, c_piv = jax.scipy.linalg.lu_factor(Dc.vals[:nc, :nc])
+        trace(f"coarsest dense LU (n={nc})")
+
+        self.hierarchy = AmgHierarchy(
+            levels=tuple(dev_levels), c_lu=c_lu, c_piv=c_piv,
+            relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps,
+            relax_type=cfg.relax_type, cheby_order=cfg.cheby_order,
+            cycle_type=cfg.cycle_type, relax_order=cfg.relax_order,
+            additive=cfg.additive, simple=cfg.simple,
+            add_last_lvl=cfg.add_last_lvl)
+        self.grid_complexity = sum(self.level_sizes) / self.level_sizes[0]
+        self.operator_complexity = sum(self.level_nnz) / self.level_nnz[0]
+        return self
+
+    def _build_dev_level_dell(self, Al, P, PT, cf, A_op):
+        from hypre_tpu.setup import device_amg as dev
+        from hypre_tpu.ops.gstell_device import sparse_op_from_dell
+
+        cfg = self.config
+        real = get_config().np_real
+        dinv = 1.0 / dev.device_l1_norms(Al, self._l1_option())
+        ds = bounds = Lop = Uop = cmask = None
+        if cfg.relax_type == 16:
+            ds, bounds = _chebyshev_setup_device(
+                A_op, Al, cfg.cheby_fraction, cfg.cheby_eig_iters)
+        elif cfg.relax_type in (11, 12):
+            row = jnp.arange(Al.n_rows, dtype=Al.cols.dtype)[:, None]
+            lo = Al.mask & (Al.cols < row)
+            up = Al.mask & (Al.cols > row)
+            Ld = dev.DEll(cols=jnp.where(lo, Al.cols, -1),
+                          vals=jnp.where(lo, Al.vals, 0),
+                          n_cols=Al.n_cols)
+            Ud = dev.DEll(cols=jnp.where(up, Al.cols, -1),
+                          vals=jnp.where(up, Al.vals, 0),
+                          n_cols=Al.n_cols)
+            Lop = sparse_op_from_dell(Ld, real)
+            Uop = sparse_op_from_dell(Ud, real)
+        if cfg.relax_order:
+            cmask = (cf == dev.C_PT).astype(jnp.dtype(real))
+        return AmgLevel(
+            A=A_op, P=sparse_op_from_dell(P, real),
+            R=sparse_op_from_dell(PT, real),
+            dinv=dinv.astype(jnp.dtype(real)),
+            cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
+            c_mask=cmask,
+            add_dinv=self._additive_dinv_dell(Al, real))
+
+    def _additive_dinv_dell(self, Al, real):
+        from hypre_tpu.setup import device_amg as dev
+
+        cfg = self.config
+        if cfg.additive < 0 and cfg.simple < 0:
+            return None
+        if cfg.simple >= 0:
+            d, _ = dev._row_diag(Al)
+            return (1.0 / jnp.where(d != 0, d, 1.0)).astype(
+                jnp.dtype(real))
+        return (1.0 / dev.device_l1_norms(Al, 1)).astype(jnp.dtype(real))
+
+    def matvec(self, x):
+        """y = A_fine @ x with the packed fine operator."""
+        return matvec(self.hierarchy.levels[0].A, jnp.asarray(x))
 
     def _additive_dinv(self, Ah, real):
         """Additive-cycle correction weights (ref: par_add_cycle.c:
@@ -400,6 +543,31 @@ class BoomerAMG:
         b = jnp.asarray(b)
         x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
         return _amg_solve_jit(h, b, x, float(tol), int(max_iter))
+
+
+def _chebyshev_setup_device(A_op, Al, fraction: float, eig_iters: int):
+    """Device twin of chebyshev_setup: power iteration on the packed
+    operator, all inside one XLA program (ref: par_relax_more.c:137)."""
+    from hypre_tpu.setup.device_amg import _row_diag
+
+    diag, _ = _row_diag(Al)
+    ds = 1.0 / jnp.sqrt(jnp.abs(diag))
+    n = Al.n_rows
+    key = jax.random.PRNGKey(7919)
+    v0 = jax.random.uniform(key, (n,), ds.dtype)
+
+    @jax.jit
+    def power(v):
+        def body(_, state):
+            v, _ = state
+            w = ds * matvec(A_op, ds * v)
+            lmax = jnp.linalg.norm(w)
+            return w / jnp.maximum(lmax, 1e-30), lmax
+        return jax.lax.fori_loop(0, eig_iters, body, (v, 1.0))
+
+    _, lmax = power(v0)
+    lmax = lmax * 1.05
+    return ds, jnp.stack([lmax, fraction * lmax])
 
 
 def chebyshev_setup(A_scipy, fraction: float, eig_iters: int):

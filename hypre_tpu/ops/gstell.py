@@ -72,6 +72,10 @@ MAX_WIN_ROWS = 4096   # B * Eb cap: 2 buffers * 4096 * 128 * 4B = 4 MB VMEM
 VMEM_X_LIMIT = 6 * 1024 * 1024
 
 _DEBUG = bool(int(os.environ.get("HYPRE_TPU_GSTELL_DEBUG", "0")))
+# chunk-loop unroll factor: compile time scales with the unrolled body
+# (~15s Mosaic at 64, ~2s at 16; persistent-cached), runtime suffers
+# under serialization (2.5ms vs 3.2ms at 256^3) — default full unroll
+_KUNROLL = int(os.environ.get("HYPRE_TPU_GSTELL_UNROLL", "64"))
 
 
 def _check(ok: bool, msg: str) -> bool:
@@ -407,14 +411,25 @@ def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
     if extra:
         fill = base_flat[-1:].repeat(extra, axis=0)
         base_flat = np.concatenate([base_flat, fill], axis=0)
-        pad_locs = [(0, extra), (0, 0), (0, 0)]
-        if isinstance(locs, np.ndarray):
-            locs = np.pad(locs, pad_locs)
-            vals = np.pad(vals, pad_locs)
-        else:
-            locs = jnp.pad(locs, pad_locs)
-            vals = jnp.pad(vals, pad_locs)
     n_steps = base_flat.shape[0] // ch_step
+    shape4 = (n_steps, ch_step, 8 * G, CHUNK)
+    if isinstance(locs, np.ndarray):
+        if extra:
+            locs = np.pad(locs, [(0, extra), (0, 0), (0, 0)])
+            vals = np.pad(vals, [(0, extra), (0, 0), (0, 0)])
+        locs = locs.reshape(shape4)
+        vals = vals.reshape(shape4)
+    elif locs.ndim == 4 and locs.shape != shape4:
+        # retry at a smaller ch_step: flatten back to per-chunk rows
+        locs = locs.reshape(-1, 8 * G, CHUNK)
+        vals = vals.reshape(-1, 8 * G, CHUNK)
+        locs, vals = _pad_reshape4(locs, vals, extra=extra,
+                                   shape4=shape4)
+    elif locs.ndim != 4:
+        # one fused device program for pad+reshape (eager ops would
+        # each materialize an extra copy of the ~GB slot arrays)
+        locs, vals = _pad_reshape4(locs, vals, extra=extra,
+                                   shape4=shape4)
     base_steps = base_flat.reshape(n_steps, ch_step * 8 * G)
 
     brel_arr = w0b_arr = None
@@ -432,13 +447,11 @@ def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
             brel.reshape(n_steps, ch_step, G, 8).astype(np.int32))
         w0b_arr = jnp.asarray(w0b.astype(np.int32))
 
-    shape4 = (n_steps, ch_step, 8 * G, CHUNK)
     if isinstance(locs, np.ndarray):
-        locs_arr = jnp.asarray(locs.reshape(shape4))
-        vals_arr = jnp.asarray(vals.reshape(shape4))
+        locs_arr = jnp.asarray(locs)
+        vals_arr = jnp.asarray(vals)
     else:
-        locs_arr = locs.reshape(shape4)
-        vals_arr = vals.reshape(shape4)
+        locs_arr, vals_arr = locs, vals
 
     return GstEllMatrix(
         base=jnp.asarray(base_steps.reshape(n_steps, ch_step, G, 8)
@@ -449,6 +462,14 @@ def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
         x_rows_pad=int(x_rows_pad), resident=bool(resident),
         nnz=int(nnz), ch_step=int(ch_step),
     )
+
+
+@partial(jax.jit, static_argnames=("extra", "shape4"))
+def _pad_reshape4(locs, vals, *, extra, shape4):
+    if extra:
+        locs = jnp.pad(locs, [(0, extra), (0, 0), (0, 0)])
+        vals = jnp.pad(vals, [(0, extra), (0, 0), (0, 0)])
+    return locs.reshape(shape4), vals.reshape(shape4)
 
 
 def gstell_from_stencil(shape, entries, real_dtype=None):
@@ -496,10 +517,18 @@ def gstell_from_stencil(shape, entries, real_dtype=None):
             * max(nz - abs(dz), 0)
 
     jreal = jnp.dtype(real_dtype)
+    # pick the grid-step layout up front so the builder emits the final
+    # 4D (n_steps, ch_step, S, 128) arrays in one fused program —
+    # no post-hoc pad/reshape copies of the GB-scale slot arrays
+    c = 2
+    resident = (x_rows + c) * 128 * real_dtype.itemsize <= VMEM_X_LIMIT
+    ch_step = _pick_ch_step(n_chunks, G, resident)
+    n_chunks_pad = -(-n_chunks // ch_step) * ch_step
+    n_steps = n_chunks_pad // ch_step
 
-    @partial(jax.jit, static_argnums=())
+    @jax.jit
     def build_slots(base_dev):
-        lin = jnp.arange(n_chunks * 128, dtype=jnp.int32)
+        lin = jnp.arange(n_chunks_pad * 128, dtype=jnp.int32)
         gx = lin % nx
         gy = (lin // nx) % ny
         gz = lin // (nx * ny)
@@ -520,14 +549,19 @@ def gstell_from_stencil(shape, entries, real_dtype=None):
         pad = [(0, 0), (0, S - K)]
         locs = jnp.pad(locs, pad)
         vals = jnp.pad(vals, pad)
-        locs = locs.reshape(n_chunks, 128, S).transpose(0, 2, 1)
-        vals = vals.reshape(n_chunks, 128, S).transpose(0, 2, 1)
-        return locs, vals
+        locs = locs.reshape(n_chunks_pad, 128, S).transpose(0, 2, 1)
+        vals = vals.reshape(n_chunks_pad, 128, S).transpose(0, 2, 1)
+        return (locs.reshape(n_steps, ch_step, S, 128),
+                vals.reshape(n_steps, ch_step, S, 128))
 
+    if n_chunks_pad > n_chunks:
+        fill = base[-1:].repeat(n_chunks_pad - n_chunks, axis=0)
+        base = np.concatenate([base, fill], axis=0)
     locs_dev, vals_dev = build_slots(jnp.asarray(base.astype(np.int32)))
     return _finish_pack(base, locs_dev, vals_dev, n_rows=int(n),
-                        n_cols=int(n), c=2, G=G, x_rows=int(x_rows),
-                        nnz=int(nnz), real_dtype=real_dtype)
+                        n_cols=int(n), c=c, G=G, x_rows=int(x_rows),
+                        nnz=int(nnz), real_dtype=real_dtype,
+                        ch_step=ch_step)
 
 
 # ---------------------------------------------------------------------------
@@ -572,11 +606,21 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 
     if A.resident:
         def kernel(base_ref, locs_ref, vals_ref, x_ref, y_ref):
-            for ch in range(CH):
-                y_ref[0, ch, :] = _chunk_body(
-                    lambda g, s: base_ref[0, ch, g, s],
-                    locs_ref[0, ch], vals_ref[0, ch],
-                    lambda b: x_ref[pl.ds(b, 1), :], c, G, dtype)
+            # fori_loop (not Python unroll) over the step's chunks:
+            # Mosaic compile time scales with body size, and ch_step
+            # can be 64 — unrolled, that is minutes of compile
+            K = min(_KUNROLL, CH)   # CH is a power of two >= 8
+
+            def chunk_at(blk, _):
+                for j in range(K):      # manual partial unroll
+                    ch = blk * K + j
+                    y_ref[0, ch, :] = _chunk_body(
+                        lambda g, s: base_ref[0, ch, g, s],
+                        locs_ref[0, ch], vals_ref[0, ch],
+                        lambda b: x_ref[pl.ds(b, 1), :], c, G, dtype)
+                return ()
+
+            jax.lax.fori_loop(0, CH // K, chunk_at, ())
 
         y = pl.pallas_call(
             kernel,
@@ -630,11 +674,19 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                 band_copy(t, slot, bd).wait()
 
             off = slot * WIN
-            for ch in range(CH):
-                y_ref[0, ch, :] = _chunk_body(
-                    lambda g, s: brel_ref[0, ch, g, s] + off,
-                    locs_ref[0, ch], vals_ref[0, ch],
-                    lambda b: win[pl.ds(b, 1), :], c, G, dtype)
+
+            K = min(_KUNROLL, CH)   # CH is a power of two >= 8
+
+            def chunk_at(blk, _):
+                for j in range(K):      # manual partial unroll
+                    ch = blk * K + j
+                    y_ref[0, ch, :] = _chunk_body(
+                        lambda g, s: brel_ref[0, ch, g, s] + off,
+                        locs_ref[0, ch], vals_ref[0, ch],
+                        lambda b: win[pl.ds(b, 1), :], c, G, dtype)
+                return ()
+
+            jax.lax.fori_loop(0, CH // K, chunk_at, ())
 
         y = pl.pallas_call(
             kernel_w,

@@ -1,4 +1,4 @@
-"""Device-side GST-ELL packing: DEll (row-major padded ELL, the
+"""Device-side GST-ELL packing: DEll (slot-major padded ELL, the
 device-setup representation) -> GstEllMatrix, entirely as XLA programs.
 
 This is the packing tail of the device setup path: the AMG hierarchy is
@@ -39,7 +39,8 @@ _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 def _offsets(cols, valid, n_rows, n_cols):
-    row = jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    """cols slot-major (w, n); offset per entry (row on the lane dim)."""
+    row = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
     if n_rows == n_cols:
         shift = row
     else:
@@ -89,25 +90,25 @@ def _stage_cluster(M, span, dmin):
 @partial(jax.jit, static_argnames=("span", "dmin", "NC"))
 def _stage_slots(M, lut, span, dmin, NC):
     """ecl + rank + per-(chunk, cluster) slot ranges; returns the
-    S_max scalar the caller syncs to pick G."""
-    n, w = M.cols.shape
+    S_max scalar the caller syncs to pick G.  All (w, n) slot-major."""
+    w, n = M.cols.shape
     valid = M.mask
     d = _offsets(M.cols, valid, n, M.n_cols)
     ecl = jnp.where(valid, jnp.take(lut, jnp.where(
         valid, d - dmin, 0).astype(jnp.int32)), NC)
 
-    # rank within each (row, cluster) run — DEll rows are col-sorted,
-    # so same-cluster entries are contiguous
-    slots = jnp.arange(w, dtype=jnp.int32)[None, :]
+    # rank within each (row, cluster) run — DEll slots are col-sorted,
+    # so same-cluster entries are contiguous along the slot axis
+    slots = jnp.arange(w, dtype=jnp.int32)[:, None]
     prev_ecl = jnp.concatenate(
-        [jnp.full((n, 1), -1, jnp.int32), ecl[:, :-1]], axis=1)
+        [jnp.full((1, n), -1, jnp.int32), ecl[:-1]], axis=0)
     newrun = valid & (ecl != prev_ecl)
     run_first = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newrun, slots, 0), axis=1)
+        jnp.maximum, jnp.where(newrun, slots, 0), axis=0)
     rank = slots - run_first
 
     n_chunks = -(-n // CHUNK)
-    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[:, None]
+    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[None, :]
     flat_cc = jnp.where(valid, chunk * NC + ecl, n_chunks * NC)
     m2 = jnp.zeros((n_chunks * NC,), jnp.int32).at[
         flat_cc.reshape(-1)].max((rank + 1).reshape(-1), mode="drop")
@@ -122,16 +123,17 @@ def _stage_slots(M, lut, span, dmin, NC):
 @partial(jax.jit, static_argnames=("NC", "G", "real_dtype"))
 def _stage_scatter(M, ecl, rank, slot_start, NC, G, real_dtype):
     """Scatter into (chunk, slot, lane) layout; window bases, locs."""
-    n, w = M.cols.shape
+    w, n = M.cols.shape
     valid = M.mask
     S = 8 * G
     n_chunks = -(-n // CHUNK)
-    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[:, None]
-    lane = (jnp.arange(n, dtype=jnp.int32) % CHUNK)[:, None]
-    slot = jnp.take(slot_start, chunk[:, 0], axis=0)     # (n, NC)
-    slot = jnp.take_along_axis(
-        slot, jnp.where(valid, jnp.minimum(ecl, NC - 1), 0),
-        axis=1) + rank
+    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[None, :]
+    lane = (jnp.arange(n, dtype=jnp.int32) % CHUNK)[None, :]
+    # slot_start lookup flattened: (chunk, cluster) -> base slot —
+    # keeps every temp (w, n) lane-major
+    slot = jnp.take(slot_start.reshape(-1),
+                    chunk * NC + jnp.where(
+                        valid, jnp.minimum(ecl, NC - 1), 0)) + rank
     flat = jnp.where(valid,
                      (chunk * S + slot) * CHUNK + lane,
                      n_chunks * S * CHUNK)
@@ -174,7 +176,7 @@ def gstell_from_dell(M, real_dtype=None):
 
     assert isinstance(M, DEll)
     real_dtype = np.dtype(real_dtype or get_config().np_real)
-    n, w = M.cols.shape
+    w, n = M.cols.shape
     n_cols = M.n_cols
     if n == 0 or w == 0:
         return None
@@ -220,9 +222,10 @@ def gstell_from_dell(M, real_dtype=None):
 
 @partial(jax.jit, static_argnames=("real_dtype",))
 def _ell_from_dell_jit(M, real_dtype):
+    # DEll's slot-major (w, n) IS the transposed EllMatrix layout
     valid = M.mask
-    cols = jnp.where(valid, M.cols, 0).T
-    vals = jnp.where(valid, M.vals, 0).astype(real_dtype).T
+    cols = jnp.where(valid, M.cols, 0)
+    vals = jnp.where(valid, M.vals, 0).astype(real_dtype)
     return cols, vals
 
 
@@ -242,7 +245,7 @@ def _dense_from_dell_jit(M, rp, cp, real_dtype):
     n = M.n_rows
     valid = M.mask
     rows = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], M.cols.shape)
+        jnp.arange(n, dtype=jnp.int32)[None, :], M.cols.shape)
     flat = jnp.where(valid, rows * cp + M.cols, rp * cp)
     dense = jnp.zeros((rp * cp,), real_dtype).at[
         flat.reshape(-1)].add(

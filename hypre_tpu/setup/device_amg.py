@@ -1,6 +1,7 @@
 """Device-side AMG setup: the whole BoomerAMG setup phase as XLA
-programs over a padded row-major ELL operand, so the hierarchy is built
-ON the TPU with no host round-trips beyond per-level scalar metadata.
+programs over a padded slot-major ELL operand, so the hierarchy is
+built ON the TPU with no host round-trips beyond per-level scalar
+metadata.
 
 This is the TPU-native analog of hypre's device setup path:
   * strength               ref: src/parcsr_ls/par_strength.c:531 (host
@@ -15,16 +16,23 @@ This is the TPU-native analog of hypre's device setup path:
   * transpose              ref: src/seq_mv/csr_matop_device.c (cusparse
                            csr2csc analog via one global key sort)
 
-Everything here is pure jnp (runs on CPU for tests, TPU for real), uses
-static shapes only, and bounds memory with lax.map row-chunking.  The
-representation is `DEll`:
+Everything here is jitted jnp (runs on CPU for tests, TPU for real),
+uses static shapes only, and bounds memory with lax.map row-chunking.
+The representation is `DEll`, stored SLOT-MAJOR:
 
-  cols: int32[n, w]   column index per slot, **-1 in padding slots**
-  vals: real[n, w]    value per slot (0 in padding)
+  cols: int32[w, n]   column index per slot, **-1 in padding slots**
+  vals: real[w, n]    value per slot (0 in padding)
   n_cols: static
 
-Rows keep their CSR column order (ascending), which the device GST-ELL
-packer (ops/gstell_device.py) relies on for window locality.
+The (w, n) orientation is load-bearing on TPU: arrays are tiled
+(8 sublanes, 128 lanes) on their last two dims, so an (n, w<128)
+array that materializes inside a program is padded to (n, 128) — an
+18x HBM blow-up and a ~200x slowdown measured at 256^3.  With n on
+the lane dim every temp is compact.
+
+Within each row (a lane), slots hold the CSR column order (ascending,
+padding compacted to the high slots), which the device GST-ELL packer
+(ops/gstell_device.py) relies on for window locality.
 """
 from __future__ import annotations
 
@@ -44,19 +52,19 @@ SF_PT = -3
          data_fields=["cols", "vals"], meta_fields=["n_cols"])
 @dataclasses.dataclass(frozen=True)
 class DEll:
-    """Row-major padded ELL for device-side setup (pad col = -1)."""
+    """Slot-major padded ELL for device-side setup (pad col = -1)."""
 
-    cols: jax.Array          # int32 (n, w)
-    vals: jax.Array          # real (n, w)
+    cols: jax.Array          # int32 (w, n)
+    vals: jax.Array          # real (w, n)
     n_cols: int
 
     @property
     def n_rows(self) -> int:
-        return self.cols.shape[0]
+        return self.cols.shape[1]
 
     @property
     def width(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
 
     @property
     def shape(self):
@@ -85,7 +93,8 @@ def dell_from_scipy(A, real_dtype=np.float32) -> DEll:
     rows = np.repeat(np.arange(n_rows), row_nnz)
     cols[rows, slot] = A.indices
     vals[rows, slot] = A.data
-    return DEll(cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+    return DEll(cols=jnp.asarray(np.ascontiguousarray(cols.T)),
+                vals=jnp.asarray(np.ascontiguousarray(vals.T)),
                 n_cols=int(n_cols))
 
 
@@ -95,7 +104,7 @@ def dell_to_scipy(M: DEll):
     cols = np.asarray(M.cols)
     vals = np.asarray(M.vals)
     mask = cols >= 0
-    rows = np.broadcast_to(np.arange(M.n_rows)[:, None], cols.shape)
+    rows = np.broadcast_to(np.arange(M.n_rows)[None, :], cols.shape)
     A = sp.csr_matrix(
         (vals[mask].astype(np.float64), (rows[mask], cols[mask])),
         shape=(M.n_rows, M.n_cols))
@@ -109,7 +118,7 @@ def dell_matvec(M: DEll, x: jax.Array) -> jax.Array:
     GST-ELL / DIA kernels, not this)."""
     safe = jnp.where(M.mask, M.cols, 0)
     g = jnp.take(x, safe, axis=0)
-    return jnp.sum(jnp.where(M.mask, M.vals * g, 0), axis=1)
+    return jnp.sum(jnp.where(M.mask, M.vals * g, 0), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -120,12 +129,20 @@ def dell_matvec(M: DEll, x: jax.Array) -> jax.Array:
 def dell_stencil(shape, entries, dtype=jnp.float32) -> DEll:
     """Stencil operator on an (nx, ny, nz) grid, x-fastest ordering,
     Dirichlet truncation (semantics of gen/laplace.py stencil_matrix,
-    ref: src/parcsr_ls/par_laplace.c:63)."""
+    ref: src/parcsr_ls/par_laplace.c:63).  One fused XLA program."""
+    ents = tuple(sorted(
+        ((tuple(d), float(v)) for d, v in entries if v != 0.0),
+        key=lambda e: e[0][0] + shape[0] * (e[0][1]
+                                            + shape[1] * e[0][2])))
+    cols, vals = _dell_stencil_jit(tuple(shape), ents, jnp.dtype(dtype))
+    return DEll(cols=cols, vals=vals,
+                n_cols=shape[0] * shape[1] * shape[2])
+
+
+@partial(jax.jit, static_argnames=("shape", "ents", "dtype"))
+def _dell_stencil_jit(shape, ents, dtype):
     nx, ny, nz = shape
     n = nx * ny * nz
-    ents = sorted(((d, v) for d, v in entries if v != 0.0),
-                  key=lambda e: e[0][0] + nx * (e[0][1] + ny * e[0][2]))
-    K = len(ents)
     lin = jnp.arange(n, dtype=jnp.int32)
     x = lin % nx
     y = (lin // nx) % ny
@@ -138,15 +155,15 @@ def dell_stencil(shape, entries, dtype=jnp.float32) -> DEll:
         disp = dx + nx * (dy + ny * dz)
         cols.append(jnp.where(ok, lin + disp, -1))
         vals.append(jnp.where(ok, jnp.asarray(v, dtype), 0))
-    cols = jnp.stack(cols, axis=1)
-    vals = jnp.stack(vals, axis=1)
-    # compact valid entries to the left so column order is the CSR
-    # (ascending) order: stable sort by (invalid, col)
+    cols = jnp.stack(cols, axis=0)                 # (K, n)
+    vals = jnp.stack(vals, axis=0)
+    # compact valid entries to the low slots so slot order is the CSR
+    # (ascending) column order: stable sort by (invalid, col)
     key = jnp.where(cols >= 0, cols, jnp.int32(2**30))
-    order = jnp.argsort(key, axis=1)
-    cols = jnp.take_along_axis(cols, order, axis=1)
-    vals = jnp.take_along_axis(vals, order, axis=1)
-    return DEll(cols=cols, vals=vals, n_cols=n)
+    order = jnp.argsort(key, axis=0)
+    cols = jnp.take_along_axis(cols, order, axis=0)
+    vals = jnp.take_along_axis(vals, order, axis=0)
+    return cols, vals
 
 
 def dell_laplacian(nx, ny, nz=1, cx=1.0, cy=1.0, cz=1.0,
@@ -175,35 +192,35 @@ def dell_laplacian(nx, ny, nz=1, cx=1.0, cy=1.0, cz=1.0,
 def device_strength(A: DEll, theta: float = 0.25,
                     max_row_sum: float = 0.9,
                     abs_soc: bool = False) -> jax.Array:
-    """Boolean strong mask (n, w) over A's slots.  Semantics of
+    """Boolean strong mask (w, n) over A's slots.  Semantics of
     hypre_BoomerAMGCreateS (ref: src/parcsr_ls/par_strength.c:531).
 
     Jitted with static knobs: on the axon tunnel every eager op is a
     dispatch round-trip, so each setup stage must be ONE program."""
     n = A.n_rows
-    row = jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    row = jnp.arange(n, dtype=A.cols.dtype)[None, :]
     valid = A.mask
     is_diag = valid & (A.cols == row)
     offd = valid & ~is_diag
-    v64 = A.vals
-    diag = jnp.sum(jnp.where(is_diag, v64, 0), axis=1)
-    big = jnp.asarray(jnp.finfo(v64.dtype).max, v64.dtype)
-    scale_max = jnp.max(jnp.where(offd, v64, -big), axis=1)
-    scale_min = jnp.min(jnp.where(offd, v64, big), axis=1)
+    v = A.vals
+    diag = jnp.sum(jnp.where(is_diag, v, 0), axis=0)
+    big = jnp.asarray(jnp.finfo(v.dtype).max, v.dtype)
+    scale_max = jnp.max(jnp.where(offd, v, -big), axis=0)
+    scale_min = jnp.min(jnp.where(offd, v, big), axis=0)
     d_neg = diag < 0
     row_scale = jnp.where(d_neg, scale_max, scale_min)
-    row_sum = jnp.sum(jnp.where(valid, v64, 0), axis=1)
+    row_sum = jnp.sum(jnp.where(valid, v, 0), axis=0)
     if max_row_sum < 1.0:
         weak_all = jnp.abs(row_sum) > jnp.abs(diag) * max_row_sum
     else:
         weak_all = jnp.zeros((n,), bool)
     if abs_soc:
-        abs_scale = jnp.max(jnp.where(offd, jnp.abs(v64), 0), axis=1)
-        strong = jnp.abs(v64) >= theta * abs_scale[:, None]
+        abs_scale = jnp.max(jnp.where(offd, jnp.abs(v), 0), axis=0)
+        strong = jnp.abs(v) >= theta * abs_scale[None, :]
     else:
-        thresh = (theta * row_scale)[:, None]
-        strong = jnp.where(d_neg[:, None], v64 > thresh, v64 < thresh)
-    return strong & offd & ~weak_all[:, None]
+        thresh = (theta * row_scale)[None, :]
+        strong = jnp.where(d_neg[None, :], v > thresh, v < thresh)
+    return strong & offd & ~weak_all[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -241,11 +258,11 @@ def pmis_hash32_np(ids: np.ndarray, seed: int) -> np.ndarray:
 @partial(jax.jit, static_argnames=("seed",))
 def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
                 global_ids: jax.Array | None = None) -> jax.Array:
-    """CF marker (C_PT/F_PT/SF_PT) via PMIS.  Mirrors setup/coarsen.pmis
-    (ref: src/parcsr_ls/par_coarsen.c:2101) with the 32-bit hash;
-    ties additionally broken by global id so the selection loop always
-    terminates."""
-    n = cols.shape[0]
+    """CF marker (C_PT/F_PT/SF_PT) via PMIS over slot-major (w, n)
+    cols/strong.  Mirrors setup/coarsen.pmis (ref: src/parcsr_ls/
+    par_coarsen.c:2101) with the 32-bit hash; ties additionally broken
+    by global id so the selection loop always terminates."""
+    n = cols.shape[1]
     if global_ids is None:
         global_ids = jnp.arange(n, dtype=jnp.int32)
     scols = jnp.where(strong, cols, n)          # n = dropped in scatters
@@ -257,7 +274,7 @@ def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
         ones.reshape(-1), mode="drop")
     measure = st_deg + pmis_hash32(global_ids, seed)
 
-    isolated = ~jnp.any(strong, axis=1)
+    isolated = ~jnp.any(strong, axis=0)
     cf0 = jnp.where(isolated, jnp.int32(SF_PT), jnp.int32(0))
     measure = jnp.where(isolated, 0.0, measure)
     gid = global_ids
@@ -273,13 +290,13 @@ def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
         cand_j = jnp.take(cand, gcols) & strong
         m_j = jnp.take(m, gcols)
         gid_j = jnp.take(gid, gcols)
-        beats_me = (m_j > m[:, None]) | ((m_j == m[:, None])
-                                         & (gid_j > gid[:, None]))
-        out_row = jnp.any(cand_j & cand[:, None] & beats_me, axis=1)
+        beats_me = (m_j > m[None, :]) | ((m_j == m[None, :])
+                                         & (gid_j > gid[None, :]))
+        out_row = jnp.any(cand_j & cand[None, :] & beats_me, axis=0)
         # scatter side: i beats j along edge (i, j)
-        i_beats = (cand[:, None] & cand_j
-                   & ((m[:, None] > m_j) | ((m[:, None] == m_j)
-                                            & (gid[:, None] > gid_j))))
+        i_beats = (cand[None, :] & cand_j
+                   & ((m[None, :] > m_j) | ((m[None, :] == m_j)
+                                            & (gid[None, :] > gid_j))))
         out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
             i_beats.reshape(-1), mode="drop")
         new_c = cand & ~(out_row | out_sc)
@@ -289,7 +306,7 @@ def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
         cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
 
         is_c = cf == C_PT
-        has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=1)
+        has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=0)
         make_f = un & ~new_c & ~low & has_c_dep
         cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
 
@@ -305,9 +322,9 @@ def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
 # ---------------------------------------------------------------------------
 
 def _row_diag(A: DEll):
-    row = jnp.arange(A.n_rows, dtype=A.cols.dtype)[:, None]
+    row = jnp.arange(A.n_rows, dtype=A.cols.dtype)[None, :]
     is_diag = A.mask & (A.cols == row)
-    return jnp.sum(jnp.where(is_diag, A.vals, 0), axis=1), is_diag
+    return jnp.sum(jnp.where(is_diag, A.vals, 0), axis=0), is_diag
 
 
 @partial(jax.jit,
@@ -321,7 +338,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     1948-2500) — see setup/interp.direct_interp for the host twin.
     n_coarse must be supplied (static) by the caller, which already
     synced it to decide whether to keep coarsening."""
-    n, w = A.cols.shape
+    w, n = A.cols.shape
     is_c = cf == C_PT
     cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
 
@@ -334,32 +351,29 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     pos = A.vals > 0
     neg = A.vals < 0
 
-    sum_n_neg = jnp.sum(jnp.where(offd & neg, A.vals, 0), axis=1)
-    sum_n_pos = jnp.sum(jnp.where(offd & pos, A.vals, 0), axis=1)
-    sum_p_neg = jnp.sum(jnp.where(strong_c & neg, A.vals, 0), axis=1)
-    sum_p_pos = jnp.sum(jnp.where(strong_c & pos, A.vals, 0), axis=1)
+    sum_n_neg = jnp.sum(jnp.where(offd & neg, A.vals, 0), axis=0)
+    sum_n_pos = jnp.sum(jnp.where(offd & pos, A.vals, 0), axis=0)
+    sum_p_neg = jnp.sum(jnp.where(strong_c & neg, A.vals, 0), axis=0)
+    sum_p_pos = jnp.sum(jnp.where(strong_c & pos, A.vals, 0), axis=0)
     alfa = jnp.where(sum_p_neg != 0, sum_n_neg / jnp.where(
         sum_p_neg != 0, sum_p_neg * diag, 1.0), 1.0)
     beta = jnp.where(sum_p_pos != 0, sum_n_pos / jnp.where(
         sum_p_pos != 0, sum_p_pos * diag, 1.0), 1.0)
 
     f_row = ~is_c & (cf != 0)
-    sel = strong_c & f_row[:, None]
-    pv = jnp.where(A.vals < 0, -alfa[:, None] * A.vals,
-                   -beta[:, None] * A.vals)
+    sel = strong_c & f_row[None, :]
+    pv = jnp.where(A.vals < 0, -alfa[None, :] * A.vals,
+                   -beta[None, :] * A.vals)
     pc = jnp.where(sel, jnp.take(cmap, gcols), -1)
     pv = jnp.where(sel, pv, 0)
 
-    # C rows interpolate identity
-    ident_c = jnp.concatenate(
-        [cmap[:, None], jnp.full((n, w - 1), -1, jnp.int32)], axis=1) \
-        if w > 1 else cmap[:, None]
-    ident_v = jnp.concatenate(
-        [jnp.ones((n, 1), A.vals.dtype), jnp.zeros((n, w - 1),
-                                                   A.vals.dtype)],
-        axis=1) if w > 1 else jnp.ones((n, 1), A.vals.dtype)
-    pc = jnp.where(is_c[:, None], ident_c, pc)
-    pv = jnp.where(is_c[:, None], ident_v, pv)
+    # C rows interpolate identity (slot 0)
+    slot0 = (jnp.arange(w, dtype=jnp.int32) == 0)[:, None]
+    pc = jnp.where(is_c[None, :],
+                   jnp.where(slot0, cmap[None, :], -1), pc)
+    pv = jnp.where(is_c[None, :],
+                   jnp.where(slot0, jnp.asarray(1.0, A.vals.dtype), 0),
+                   pv)
     P = DEll(cols=pc, vals=pv, n_cols=int(n_coarse))
     if trunc_factor > 0.0 or (0 < max_elmts < w):
         P = device_truncate(P, trunc_factor, max_elmts)
@@ -377,13 +391,13 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     1024-1800; device variant par_lr_interp_device.c:1001) — see
     setup/interp_ext.extpi_interp for the host twin.
 
-    Per row-chunk: the distance-2 pattern Ĉ_i is a sorted (with
-    duplicates) candidate list of width w(1+w); membership tests are
-    vmapped binary searches against it; the distribution term expands
-    each strong-F edge over its neighbor row (w² candidates), and the
-    chunk compacts + truncates before writing out, so peak memory is
-    O(chunk · w²), never O(n · w²)."""
-    n, w = A.cols.shape
+    Per row-chunk (rows on the lane dim): the distance-2 pattern Ĉ_i is
+    a sorted (with duplicates) candidate list of height w(1+w);
+    membership tests are per-lane binary searches against it; the
+    distribution term expands each strong-F edge over its neighbor row
+    (w² candidates), and the chunk compacts + truncates before writing
+    out, so peak memory is O(chunk · w²), never O(n · w²)."""
+    w, n = A.cols.shape
     is_c = cf == C_PT
     is_f = cf == F_PT
     cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
@@ -393,26 +407,33 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     strong_c_all = strong & jnp.take(is_c, gcols_all)
     sign_diag = jnp.sign(diag)
 
-    out_w = max_elmts if (0 < max_elmts) else w * (1 + w)
     wc = w * (1 + w)
 
     # the chunk body needs the global row index for diagonal tests and
     # the "+i" self term, so chunking is done manually (not _chunked)
     n_pad = -(-n // chunk) * chunk
-    pad1 = lambda a, pv: jnp.pad(
-        a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1), constant_values=pv)
-    colsP = pad1(A.cols, -1).reshape(-1, chunk, w)
-    valsP = pad1(A.vals, 0).reshape(-1, chunk, w)
-    strgP = pad1(strong, False).reshape(-1, chunk, w)
-    cfP = pad1(cf, SF_PT).reshape(-1, chunk)
-    diagP = pad1(diag, 1.0).reshape(-1, chunk)
-    gidP = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
+    n_ch = n_pad // chunk
+
+    def pad_t(a, pv):
+        """(w, n) -> (n_ch, w, chunk) stacked chunks; (n,) -> (n_ch, chunk)."""
+        if a.ndim == 2:
+            a = jnp.pad(a, [(0, 0), (0, n_pad - n)], constant_values=pv)
+            return a.reshape(a.shape[0], n_ch, chunk).transpose(1, 0, 2)
+        a = jnp.pad(a, [(0, n_pad - n)], constant_values=pv)
+        return a.reshape(n_ch, chunk)
+
+    colsP = pad_t(A.cols, -1)
+    valsP = pad_t(A.vals, 0)
+    strgP = pad_t(strong, False)
+    cfP = pad_t(cf, SF_PT)
+    diagP = pad_t(diag, 1.0)
+    gidP = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_ch, chunk)
 
     real = A.vals.dtype
 
     def chunk_fn(args):
-        cols, vals, strg, cfch, diagch, gid = args
-        m = cols.shape[0]
+        cols, vals, strg, cfch, diagch, gid = args   # (w, m) / (m,)
+        m = cols.shape[1]
         valid = cols >= 0
         gcols = jnp.where(valid, cols, 0)
         col_is_c = jnp.take(is_c, gcols) & valid
@@ -421,85 +442,83 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
         sc = strg & col_is_c
         sf = strg & col_is_f
         f_row = cfch == F_PT
-        is_diag_slot = valid & (cols == gid[:, None])
+        is_diag_slot = valid & (cols == gid[None, :])
         offd = valid & ~is_diag_slot
 
         # ---- Ĉ: sorted candidate list (duplicates fine) ------------
-        cand1 = jnp.where(sc, cols, _BIG)
-        nb_cols = jnp.take(A.cols, gcols, axis=0)        # (m, w, w)
+        cand1 = jnp.where(sc, cols, _BIG)                 # (w, m)
+        nb_cols = jnp.take(A.cols, gcols, axis=1)         # (w, w, m)
         nb_valid = nb_cols >= 0
-        nb_sc = jnp.take(strong_c_all, gcols, axis=0) & nb_valid
-        cand2 = jnp.where(sf[:, :, None] & nb_sc, nb_cols, _BIG)
+        nb_sc = jnp.take(strong_c_all, gcols, axis=1) & nb_valid
+        cand2 = jnp.where(sf[None, :, :] & nb_sc, nb_cols, _BIG)
         chat = jnp.sort(jnp.concatenate(
-            [cand1, cand2.reshape(m, w * w)], axis=1), axis=1)
-        has_chat = chat[:, 0] < _BIG
+            [cand1, cand2.reshape(w * w, m)], axis=0), axis=0)
 
-        def member(queries):
+        def member(queries):                              # (q, m)
             pos = jax.vmap(
-                lambda ch, q: jnp.searchsorted(ch, q))(chat, queries)
+                lambda ch, q: jnp.searchsorted(ch, q),
+                in_axes=(1, 1), out_axes=1)(chat, queries)
             pos = jnp.minimum(pos, wc - 1)
-            return (jnp.take_along_axis(chat, pos, axis=1) == queries) \
+            return (jnp.take_along_axis(chat, pos, axis=0) == queries) \
                 & (queries < _BIG)
 
         # ---- direct: A entries with col in Ĉ -----------------------
         q_direct = jnp.where(offd, cols, _BIG)
-        direct_sel = offd & f_row[:, None] & member(q_direct)
+        direct_sel = offd & f_row[None, :] & member(q_direct)
         d = diagch
 
         # ---- weak: offd, not direct, not strong-F, not SF ----------
-        weak_sel = (offd & f_row[:, None] & ~direct_sel & ~sf
+        weak_sel = (offd & f_row[None, :] & ~direct_sel & ~sf
                     & ~col_is_sf)
-        d = d + jnp.sum(jnp.where(weak_sel, vals, 0), axis=1)
+        d = d + jnp.sum(jnp.where(weak_sel, vals, 0), axis=0)
 
         # ---- distribution over strong-F neighbors ------------------
-        # expand row k of A for each strong-F slot k: (m, w, w)
+        # expand row k of A for each strong-F slot k: (w_l, w_k, m)
         t_l = nb_cols
-        t_valid = nb_valid & sf[:, :, None]
-        t_a = jnp.take(A.vals, gcols, axis=0)
-        k_diag_sign = jnp.take(sign_diag, gcols)         # (m, w)
-        not_diag = t_l != gcols[:, :, None]
-        sign_ok = (k_diag_sign[:, :, None] * t_a) < 0
+        t_valid = nb_valid & sf[None, :, :]
+        t_a = jnp.take(A.vals, gcols, axis=1)
+        k_diag_sign = jnp.take(sign_diag, gcols)          # (w, m)
+        not_diag = t_l != gcols[None, :, :]
+        sign_ok = (k_diag_sign[None, :, :] * t_a) < 0
         memb = member(jnp.where(t_valid, t_l, _BIG).reshape(
-            m, w * w)).reshape(m, w, w)
-        is_self = t_l == gid[:, None, None]
+            w * w, m)).reshape(w, w, m)
+        is_self = t_l == gid[None, None, :]
         in_den = t_valid & not_diag & sign_ok & (memb | is_self)
 
-        denom = jnp.sum(jnp.where(in_den, t_a, 0), axis=2)   # (m, w)
+        denom = jnp.sum(jnp.where(in_den, t_a, 0), axis=0)   # (w, m)
         has_den = denom != 0
         a_ik = jnp.where(sf, vals, 0)
         dist = jnp.where(has_den, a_ik / jnp.where(has_den, denom, 1.0),
                          0.0)
         # s == 0: a_ik to the diagonal
-        d = d + jnp.sum(jnp.where(sf & ~has_den, vals, 0), axis=1)
+        d = d + jnp.sum(jnp.where(sf & ~has_den, vals, 0), axis=0)
         # "+i" self term
-        self_sel = in_den & is_self & has_den[:, :, None]
-        d = d + jnp.sum(jnp.where(self_sel, dist[:, :, None] * t_a, 0),
-                        axis=(1, 2))
+        self_sel = in_den & is_self & has_den[None, :, :]
+        d = d + jnp.sum(jnp.where(self_sel, dist[None, :, :] * t_a, 0),
+                        axis=(0, 1))
 
-        contrib_sel = in_den & memb & has_den[:, :, None]
-        contrib_v = jnp.where(contrib_sel, dist[:, :, None] * t_a, 0)
+        contrib_sel = in_den & memb & has_den[None, :, :]
+        contrib_v = jnp.where(contrib_sel, dist[None, :, :] * t_a, 0)
         contrib_c = jnp.where(contrib_sel, t_l, -1)
 
         # ---- assemble, normalize, truncate -------------------------
         cand_c = jnp.concatenate(
             [jnp.where(direct_sel, cols, -1),
-             contrib_c.reshape(m, w * w)], axis=1)
+             contrib_c.reshape(w * w, m)], axis=0)
         cand_v = jnp.concatenate(
             [jnp.where(direct_sel, vals, 0),
-             contrib_v.reshape(m, w * w)], axis=1)
-        pc, pv = _row_compact(cand_c, cand_v, wc)
+             contrib_v.reshape(w * w, m)], axis=0)
+        pc, pv = _slot_compact(cand_c, cand_v, wc)
         dsafe = jnp.where(d != 0, -d, 1.0)
-        pv = pv / dsafe[:, None]
+        pv = pv / dsafe[None, :]
 
         # C identity rows; SF rows stay empty
         row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) & (gid < n)
-        first = jnp.concatenate(
-            [jnp.ones((m, 1), bool), jnp.zeros((m, wc - 1), bool)],
-            axis=1)
-        pc = jnp.where(row_is_c[:, None],
-                       jnp.where(first, gid[:, None], -1), pc)
-        pv = jnp.where(row_is_c[:, None],
-                       jnp.where(first, jnp.asarray(1.0, real), 0), pv)
+        slot0 = (jnp.arange(wc, dtype=jnp.int32) == 0)[:, None]
+        pc = jnp.where(row_is_c[None, :],
+                       jnp.where(slot0, gid[None, :], -1), pc)
+        pv = jnp.where(row_is_c[None, :],
+                       jnp.where(slot0, jnp.asarray(1.0, real), 0), pv)
         Pch = DEll(cols=pc, vals=pv, n_cols=n)
         if trunc_factor > 0.0 or (0 < max_elmts < wc):
             Pch = device_truncate(Pch, trunc_factor, max_elmts)
@@ -507,8 +526,9 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
 
     pcols, pvals = jax.lax.map(
         chunk_fn, (colsP, valsP, strgP, cfP, diagP, gidP))
-    pcols = pcols.reshape(n_pad, -1)[:n]
-    pvals = pvals.reshape(n_pad, -1)[:n]
+    # (n_ch, w_out, chunk) -> (w_out, n)
+    pcols = pcols.transpose(1, 0, 2).reshape(pcols.shape[1], n_pad)[:, :n]
+    pvals = pvals.transpose(1, 0, 2).reshape(pvals.shape[1], n_pad)[:, :n]
     # fine-col -> coarse-col renumbering
     pcols = jnp.where(pcols >= 0,
                       jnp.take(cmap, jnp.where(pcols >= 0, pcols, 0)),
@@ -536,8 +556,8 @@ def iter_device_hierarchy(A: DEll, cfg):
     par_amg_setup.c:29 — the level driver; every kernel above runs on
     the accelerator).  Yields (A_l, P_l, R_l = P^T, cf_l) per level,
     then the coarsest A.  Host involvement is limited to per-level
-    scalar metadata (coarse size, output widths) — a few ms of sync
-    per level, no matrix ever copied to the host."""
+    scalar metadata (coarse size, output widths) — a few syncs per
+    level, no matrix ever copied to the host."""
     Al = A
     for _level in range(cfg.max_levels - 1):
         n = Al.n_rows
@@ -568,7 +588,7 @@ def iter_device_hierarchy(A: DEll, cfg):
 
 
 def _interp_chunk(w: int, budget: int = 1 << 27) -> int:
-    """Row-chunk size bounding the (chunk, w^2) candidate buffers to
+    """Row-chunk size bounding the (w^2, chunk) candidate buffers to
     ~budget bytes (x ~6 live arrays)."""
     per_row = max(w * w, 1) * 8
     c = budget // per_row
@@ -582,69 +602,61 @@ def _rap_chunk(wa: int, wp: int, budget: int = 1 << 27) -> int:
 
 
 # ---------------------------------------------------------------------------
-# l1 norms (setup/l1norms.py twin)
-# ---------------------------------------------------------------------------
-
-# ---------------------------------------------------------------------------
 # transpose / SpGEMM / truncation — the device matrix algebra
 # ---------------------------------------------------------------------------
 
 _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
-def _row_compact(cand_cols, cand_vals, out_width):
-    """Per-row dedup: sort candidate (col, val) slots by col, sum runs
-    of equal cols, compact to `out_width` slots (ascending cols).
+def _slot_compact(cand_cols, cand_vals, out_width):
+    """Per-row dedup over the slot axis: sort candidate (col, val)
+    slots by col, sum runs of equal cols, compact to `out_width` slots
+    (ascending cols).
 
-    cand_cols int32 (m, k) with -1 padding; cand_vals (m, k).
-    Returns (cols (m, out_width), vals (m, out_width)).
+    cand_cols int32 (k, m) with -1 padding; cand_vals (k, m).
+    Returns (cols (out_width, m), vals (out_width, m)).
     """
-    m, k = cand_cols.shape
+    k, m = cand_cols.shape
     key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
-    order = jnp.argsort(key, axis=1)
-    sc = jnp.take_along_axis(cand_cols, order, axis=1)
-    sv = jnp.take_along_axis(cand_vals, order, axis=1)
+    order = jnp.argsort(key, axis=0)
+    sc = jnp.take_along_axis(cand_cols, order, axis=0)
+    sv = jnp.take_along_axis(cand_vals, order, axis=0)
     valid = sc >= 0
     new = valid & jnp.concatenate(
-        [jnp.ones((m, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
-    slot = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+        [jnp.ones((1, m), bool), sc[1:] != sc[:-1]], axis=0)
+    slot = jnp.cumsum(new.astype(jnp.int32), axis=0) - 1
     # entries beyond out_width land in the per-row sentinel slot and
     # are dropped — callers size out_width via *_width() so this only
     # clamps, never truncates in practice
     slot = jnp.where(valid, jnp.minimum(slot, out_width), out_width)
-    rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
-    flat = rows * (out_width + 1) + slot
-    out_v = jnp.zeros((m * (out_width + 1),), cand_vals.dtype).at[
+    lanes = jnp.broadcast_to(jnp.arange(m)[None, :], (k, m))
+    flat = slot * m + lanes
+    out_v = jnp.zeros(((out_width + 1) * m,), cand_vals.dtype).at[
         flat.reshape(-1)].add(sv.reshape(-1), mode="drop")
-    out_c = jnp.full((m * (out_width + 1),), -1, jnp.int32).at[
+    out_c = jnp.full(((out_width + 1) * m,), -1, jnp.int32).at[
         flat.reshape(-1)].max(sc.reshape(-1), mode="drop")
-    out_v = out_v.reshape(m, out_width + 1)[:, :out_width]
-    out_c = out_c.reshape(m, out_width + 1)[:, :out_width]
+    out_v = out_v.reshape(out_width + 1, m)[:out_width]
+    out_c = out_c.reshape(out_width + 1, m)[:out_width]
     return jnp.where(out_c >= 0, out_c, -1), jnp.where(out_c >= 0, out_v, 0)
 
 
-def _row_distinct_count(cand_cols):
-    """Number of distinct valid cols per row (for output-width sizing)."""
-    m, k = cand_cols.shape
+def _slot_distinct_count(cand_cols):
+    """Number of distinct valid cols per row (for output-width sizing).
+    cand_cols (k, m) -> (m,)."""
+    k, m = cand_cols.shape
     key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
-    sc = jnp.sort(key, axis=1)
+    sc = jnp.sort(key, axis=0)
     valid = sc < _BIG
     new = valid & jnp.concatenate(
-        [jnp.ones((m, 1), bool), sc[:, 1:] != sc[:, :-1]], axis=1)
-    return jnp.sum(new.astype(jnp.int32), axis=1)
+        [jnp.ones((1, m), bool), sc[1:] != sc[:-1]], axis=0)
+    return jnp.sum(new.astype(jnp.int32), axis=0)
 
 
-def _chunked(fn, n, chunk, pad_args, out_builder=None):
-    """Apply fn over row-chunks of the leading axis via lax.map."""
+def _stack_chunks(a, n, chunk, pad_value):
+    """(w, n) -> (n_ch, w, chunk) for lax.map over lane chunks."""
     n_pad = -(-n // chunk) * chunk
-    padded = [jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1),
-                      constant_values=pv)
-              for a, pv in pad_args]
-    stacked = [a.reshape(n_pad // chunk, chunk, *a.shape[1:])
-               for a in padded]
-    out = jax.lax.map(fn, tuple(stacked))
-    return jax.tree_util.tree_map(
-        lambda o: o.reshape(n_pad, *o.shape[2:])[:n], out)
+    a = jnp.pad(a, [(0, 0), (0, n_pad - n)], constant_values=pad_value)
+    return a.reshape(a.shape[0], n_pad // chunk, chunk).transpose(1, 0, 2)
 
 
 def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
@@ -655,15 +667,13 @@ def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
 @partial(jax.jit, static_argnames=("chunk",))
 def _spgemm_width_dev(A: DEll, B: DEll, chunk: int = 65536):
     n, wa, wb = A.n_rows, A.width, B.width
-    n_pad = -(-n // chunk) * chunk
-    ac_all = jnp.pad(A.cols, ((0, n_pad - n), (0, 0)),
-                     constant_values=-1).reshape(n_pad // chunk, chunk, wa)
+    ac_all = _stack_chunks(A.cols, n, chunk, -1)
 
-    def f(ac):
+    def f(ac):                                    # (wa, chunk)
         safe = jnp.where(ac >= 0, ac, 0)
-        bc = jnp.take(B.cols, safe, axis=0)              # (chunk, wa, wb)
-        bc = jnp.where(ac[:, :, None] >= 0, bc, -1)
-        return jnp.max(_row_distinct_count(bc.reshape(chunk, wa * wb)))
+        bc = jnp.take(B.cols, safe, axis=1)       # (wb, wa, chunk)
+        bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
+        return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
 
     return jnp.max(jax.lax.map(f, ac_all))
 
@@ -673,21 +683,25 @@ def device_spgemm(A: DEll, B: DEll, out_width: int,
                   chunk: int = 65536) -> DEll:
     """C = A @ B (ref: src/seq_mv/csr_spgemm_device.c:15 — the two-pass
     hash SpGEMM becomes gather + per-row sort + segment-sum, chunked to
-    bound the (chunk, wa*wb) candidate buffer)."""
-    wa, wb = A.width, B.width
+    bound the (wa*wb, chunk) candidate buffer)."""
+    n, wa, wb = A.n_rows, A.width, B.width
 
     def f(args):
-        ac, av = args
+        ac, av = args                             # (wa, chunk)
         safe = jnp.where(ac >= 0, ac, 0)
-        bc = jnp.take(B.cols, safe, axis=0)              # (chunk, wa, wb)
-        bv = jnp.take(B.vals, safe, axis=0)
-        bc = jnp.where(ac[:, :, None] >= 0, bc, -1)
-        bv = bv * av[:, :, None]
-        return _row_compact(bc.reshape(chunk, wa * wb),
-                            bv.reshape(chunk, wa * wb), out_width)
+        bc = jnp.take(B.cols, safe, axis=1)       # (wb, wa, chunk)
+        bv = jnp.take(B.vals, safe, axis=1)
+        bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
+        bv = bv * av[None, :, :]
+        return _slot_compact(bc.reshape(wb * wa, chunk),
+                             bv.reshape(wb * wa, chunk), out_width)
 
-    cols, vals = _chunked(f, A.n_rows, chunk,
-                          [(A.cols, -1), (A.vals, 0)])
+    cols, vals = jax.lax.map(
+        f, (_stack_chunks(A.cols, n, chunk, -1),
+            _stack_chunks(A.vals, n, chunk, 0)))
+    n_pad = cols.shape[0] * chunk
+    cols = cols.transpose(1, 0, 2).reshape(out_width, n_pad)[:, :n]
+    vals = vals.transpose(1, 0, 2).reshape(out_width, n_pad)[:, :n]
     return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
 
 
@@ -707,20 +721,22 @@ def _transpose_width_dev(M: DEll):
 @partial(jax.jit, static_argnames=("out_width",))
 def device_transpose(M: DEll, out_width: int) -> DEll:
     """M^T via one global stable col-key sort (the cusparse csr2csc
-    analog, ref: src/seq_mv/csr_matop_device.c).  The row-major flatten
-    order makes the stable sort group each column's entries in
-    ascending-row order, so the output rows come out CSR-sorted —
-    no 64-bit composite key needed (TPU has no fast int64)."""
-    n, w = M.cols.shape
-    rows = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, w)).reshape(-1)
-    cols = M.cols.reshape(-1)
-    valid = cols >= 0
-    key = jnp.where(valid, cols, _BIG)
+    analog, ref: src/seq_mv/csr_matop_device.c).  Flattening row-major
+    (rows vary fastest within a column after the stable sort) makes
+    each output row come out CSR-sorted — no 64-bit composite key
+    needed (TPU has no fast int64)."""
+    w, n = M.cols.shape
+    # row-major flatten (one relayout) so the stable sort groups each
+    # column's entries in ascending-row order
+    colsR = M.cols.T.reshape(-1)                  # (n*w,) row-major
+    valsR = M.vals.T.reshape(-1)
+    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), w)
+    valid = colsR >= 0
+    key = jnp.where(valid, colsR, _BIG)
     order = jnp.argsort(key, stable=True)
     scol = key[order]
     srow = rows[order]
-    sval = M.vals.reshape(-1)[order]
+    sval = valsR[order]
     svalid = scol < _BIG
     # slot within the output row = position since that col's first entry
     newrow = svalid & jnp.concatenate(
@@ -730,14 +746,16 @@ def device_transpose(M: DEll, out_width: int) -> DEll:
     start = jax.lax.associative_scan(jnp.maximum, start)
     slot = idx - start
     out_row = jnp.where(svalid, scol, M.n_cols)
-    flat = out_row * out_width + jnp.minimum(slot, out_width - 1)
-    flat = jnp.where(svalid, flat, M.n_cols * out_width)
+    # slot-major output: flat = slot * n_cols + out_row
+    flat = jnp.minimum(slot, out_width - 1) * M.n_cols + out_row
+    flat = jnp.where(svalid & (slot < out_width), flat,
+                     M.n_cols * out_width)
     oc = jnp.full((M.n_cols * out_width,), -1, jnp.int32).at[flat].set(
         srow, mode="drop")
     ov = jnp.zeros((M.n_cols * out_width,), M.vals.dtype).at[flat].set(
         sval, mode="drop")
-    return DEll(cols=oc.reshape(M.n_cols, out_width),
-                vals=ov.reshape(M.n_cols, out_width), n_cols=n)
+    return DEll(cols=oc.reshape(out_width, M.n_cols),
+                vals=ov.reshape(out_width, M.n_cols), n_cols=n)
 
 
 @partial(jax.jit, static_argnames=("trunc_factor", "max_elmts"))
@@ -746,31 +764,34 @@ def device_truncate(P: DEll, trunc_factor: float, max_elmts: int) -> DEll:
     2874): drop entries below trunc_factor * row-inf-norm, keep the
     max_elmts largest by magnitude, rescale to preserve row sums.
     Output width = max_elmts (static compaction)."""
-    n, w = P.cols.shape
+    w, n = P.cols.shape
     vals = jnp.where(P.mask, P.vals, 0)
     absv = jnp.abs(vals)
     keep = P.mask
     if trunc_factor > 0.0:
-        row_nrm = jnp.max(absv, axis=1)
-        keep = keep & (absv >= trunc_factor * row_nrm[:, None])
+        row_nrm = jnp.max(absv, axis=0)
+        keep = keep & (absv >= trunc_factor * row_nrm[None, :])
     kw = w
     if max_elmts > 0 and max_elmts < w:
         kw = max_elmts
-        # rank by descending magnitude among kept entries
+        # rank by descending magnitude among kept entries: sort slots
+        # by -|v| and keep the first kw
         mag = jnp.where(keep, absv, -1.0)
-        _, top_idx = jax.lax.top_k(mag, kw)            # (n, kw)
-        sel = jnp.zeros((n, w), bool).at[
-            jnp.arange(n)[:, None], top_idx].set(True)
-        keep = keep & sel
-    row_sum = jnp.sum(vals, axis=1)
-    kept_sum = jnp.sum(jnp.where(keep, vals, 0), axis=1)
+        order = jnp.argsort(-mag, axis=0)
+        rank_of_slot = jnp.zeros((w, n), jnp.int32).at[
+            order, jnp.broadcast_to(jnp.arange(n)[None, :], (w, n))
+        ].set(jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.int32)[:, None], (w, n)))
+        keep = keep & (rank_of_slot < kw)
+    row_sum = jnp.sum(vals, axis=0)
+    kept_sum = jnp.sum(jnp.where(keep, vals, 0), axis=0)
     scale = jnp.where(kept_sum != 0, row_sum / kept_sum, 1.0)
-    newv = jnp.where(keep, vals * scale[:, None], 0)
+    newv = jnp.where(keep, vals * scale[None, :], 0)
     newc = jnp.where(keep, P.cols, _BIG)
-    # compact kept entries left (ascending col order preserved)
-    order = jnp.argsort(newc, axis=1)
-    newc = jnp.take_along_axis(newc, order, axis=1)[:, :kw]
-    newv = jnp.take_along_axis(newv, order, axis=1)[:, :kw]
+    # compact kept entries to the low slots (ascending col preserved)
+    order = jnp.argsort(newc, axis=0)
+    newc = jnp.take_along_axis(newc, order, axis=0)[:kw]
+    newv = jnp.take_along_axis(newv, order, axis=0)[:kw]
     return DEll(cols=jnp.where(newc < _BIG, newc, -1).astype(jnp.int32),
                 vals=jnp.where(newc < _BIG, newv, 0), n_cols=P.n_cols)
 
@@ -781,17 +802,14 @@ def device_l1_norms(A: DEll, option: int = 1) -> jax.Array:
     single shard (ref: src/parcsr_ls/ams.c:628-760): option 1 = full
     row l1; option 4 without off-process couplings truncates to |a_ii|;
     option 5 = plain diagonal."""
-    n = A.n_rows
-    row = jnp.arange(n, dtype=A.cols.dtype)[:, None]
     valid = A.mask
-    is_diag = valid & (A.cols == row)
-    diag = jnp.sum(jnp.where(is_diag, A.vals, 0), axis=1)
+    diag, _ = _row_diag(A)
     if option == 5:
         l1 = diag
     elif option == 4:
         l1 = jnp.abs(diag)
         l1 = jnp.where(diag < 0, -l1, l1)
     else:
-        l1 = jnp.sum(jnp.where(valid, jnp.abs(A.vals), 0), axis=1)
+        l1 = jnp.sum(jnp.where(valid, jnp.abs(A.vals), 0), axis=0)
         l1 = jnp.where(diag < 0, -l1, l1)
     return jnp.where(l1 != 0, l1, 1.0)

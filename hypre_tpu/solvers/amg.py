@@ -450,7 +450,7 @@ class BoomerAMG:
             ds, bounds = _chebyshev_setup_device(
                 A_op, Al, cfg.cheby_fraction, cfg.cheby_eig_iters)
         elif cfg.relax_type in (11, 12):
-            row = jnp.arange(Al.n_rows, dtype=Al.cols.dtype)[:, None]
+            row = jnp.arange(Al.n_rows, dtype=Al.cols.dtype)[None, :]
             lo = Al.mask & (Al.cols < row)
             up = Al.mask & (Al.cols > row)
             Ld = dev.DEll(cols=jnp.where(lo, Al.cols, -1),

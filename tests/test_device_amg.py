@@ -52,9 +52,9 @@ def test_device_strength_matches_host():
         for theta, mrs in ((0.25, 0.9), (0.5, 1.0)):
             S, _ = strength_matrix(A, theta, mrs, return_mask=True)
             strong = np.asarray(dev.device_strength(M, theta, mrs))
-            cols = np.asarray(M.cols)
+            cols = np.asarray(M.cols)              # slot-major (w, n)
             rows = np.broadcast_to(
-                np.arange(M.n_rows)[:, None], cols.shape)
+                np.arange(M.n_rows)[None, :], cols.shape)
             Sd = sp.csr_matrix(
                 (np.ones(strong.sum()),
                  (rows[strong], cols[strong])), shape=A.shape)
@@ -73,11 +73,11 @@ def test_device_pmis_properties():
     # every F point strongly depends on at least one C point
     is_c = cf == dev.C_PT
     for i in np.flatnonzero(cf == dev.F_PT):
-        nb = cols[i][strong[i]]
+        nb = cols[:, i][strong[:, i]]
         assert is_c[nb].any(), f"F point {i} has no strong C neighbor"
     # C points form an independent set in the strong graph
     for i in np.flatnonzero(is_c):
-        nb = cols[i][strong[i]]
+        nb = cols[:, i][strong[:, i]]
         assert not is_c[nb].any()
 
 

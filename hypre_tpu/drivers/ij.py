@@ -49,6 +49,7 @@ def build_parser():
     p.add_argument("-hmis", action="store_true")
     p.add_argument("-cljp", action="store_true")
     p.add_argument("-falgout", action="store_true")
+    p.add_argument("-cr", action="store_true")
     p.add_argument("-CF", type=int, default=0, dest="relax_order")
     p.add_argument("-aug", type=int, default=2, dest="aug_dim")
     p.add_argument("-th", type=float, default=0.25, dest="theta")
@@ -162,6 +163,8 @@ def main(argv=None):
         coarsen = "cljp"
     if args.falgout:
         coarsen = "falgout"
+    if args.cr:
+        coarsen = "cr"
     if args.hmis:
         coarsen = "hmis"
     amg_cfg = AmgConfig(

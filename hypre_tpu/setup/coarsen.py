@@ -158,3 +158,65 @@ def hmis(S: sp.csr_matrix, seed: int = 2747,
     S = S.tocsr()
     ST = S.T.tocsr()
     return rs_first_pass(S, ST)
+
+
+def cr(A: sp.csr_matrix, S: sp.csr_matrix, seed: int = 2747,
+       relax_sweeps: int = 5, cr_tol: float = 0.7,
+       cand_frac: float = 0.7, max_stages: int = 10,
+       global_ids: np.ndarray | None = None) -> np.ndarray:
+    """Compatible-relaxation coarsening (ref: src/parcsr_ls/par_cr.c:51
+    hypre_BoomerAMGCoarsenCR).  Habituated CR: start all-F, measure
+    per-point convergence of F-relaxation (weighted Jacobi on A_FF with
+    zero RHS), and promote an independent set of the slowest points to
+    C until the F-relaxation converges fast enough (rate < cr_tol).
+
+    Unlike the strength-graph coarsenings, CR needs the operator A
+    itself for the F-relaxation."""
+    A = A.tocsr()
+    S = S.tocsr()
+    n = A.shape[0]
+    if global_ids is None:
+        global_ids = np.arange(n, dtype=np.int64)
+    rng_e = pmis_hash(global_ids, seed ^ 0x5EED)  # deterministic "random"
+    diag = A.diagonal()
+    dsafe = np.where(diag != 0, diag, 1.0)
+    cf = np.full(n, F_PT, dtype=np.int32)
+    iso = np.diff(S.indptr) == 0
+    hash_m = pmis_hash(global_ids, seed)
+
+    for _stage in range(max_stages):
+        fmask = cf == F_PT
+        if not fmask.any():
+            break
+        # nu sweeps of weighted Jacobi on A_FF, e0 = habituated random
+        e = np.where(fmask, 0.5 + rng_e, 0.0)
+        rate = 1.0
+        for _s in range(relax_sweeps):
+            prev = np.linalg.norm(e)
+            r = A @ e
+            e = np.where(fmask, e - 0.7 * r / dsafe, 0.0)
+            nrm = np.linalg.norm(e)
+            rate = nrm / prev if prev > 0 else 0.0
+        if rate < cr_tol:
+            break
+        # candidates: slowest F points (|e| above cand_frac * max)
+        em = np.abs(e)
+        thresh = cand_frac * em.max(initial=0.0)
+        cand = fmask & (em >= thresh) & ~iso
+        if not cand.any():
+            break
+        # greedy independent set of candidates in the S graph, measure
+        # = |e| + hash (pmis-style tie-breaking)
+        measure = np.where(cand, em + hash_m, -1.0)
+        order = np.argsort(-measure, kind="stable")
+        picked = np.zeros(n, dtype=bool)
+        blocked = ~cand
+        indptr, indices = S.indptr, S.indices
+        for i in order:
+            if blocked[i] or not cand[i]:
+                continue
+            picked[i] = True
+            blocked[indices[indptr[i]:indptr[i + 1]]] = True
+        cf[picked] = C_PT
+    cf[iso & (cf == F_PT)] = SF_PT
+    return cf

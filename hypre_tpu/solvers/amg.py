@@ -81,7 +81,8 @@ class AmgConfig:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
+         data_fields=["A", "P", "R", "dinv", "AT", "cheby_ds",
+                      "cheby_bounds",
                       "L", "U", "c_mask", "gs_lo", "gs_up",
                       "gs_wf_lo", "gs_wf_up", "add_dinv"],
          meta_fields=[])
@@ -101,6 +102,7 @@ class AmgLevel:
     gs_wf_lo: object = None   # WavefrontTriSolve (exact GS, large lvls)
     gs_wf_up: object = None
     add_dinv: Optional[jax.Array] = None  # additive-cycle weights
+    AT: Optional[SparseOp] = None  # A^T (Kaczmarz relax 30)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -159,6 +161,9 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
 
             fn = {"cljp": cljp, "falgout": falgout, "ruge": ruge}
             cf = fn[cfg.coarsen_type](S, seed=cfg.seed)
+        elif cfg.coarsen_type == "cr":
+            from hypre_tpu.setup.coarsen import cr
+            cf = cr(Al, S, seed=cfg.seed)
         else:
             cf = pmis(S, seed=cfg.seed)
         n_coarse = int((cf == C_PT).sum())
@@ -327,11 +332,19 @@ class BoomerAMG:
                                           real_dtype=real)
                 gs_wf_up = build_trisolve(Ah, dl1, backward=True,
                                           real_dtype=real)
-        elif cfg.relax_type in (11, 12):
+        elif cfg.relax_type in (5, 11, 12):
             Lh = sp.tril(Ah, k=-1).tocsr()
             Uh = sp.triu(Ah, k=1).tocsr()
             Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
             Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
+        AT_op = None
+        if cfg.relax_type == 30:
+            rowsq = np.asarray(Ah.multiply(Ah).sum(axis=1)).ravel()
+            # Cimmino damping: lam_max(A^T D^-1 A) <= max column count,
+            # so 1/m keeps the simultaneous sweep contractive
+            m = int(np.diff(Ah.tocsc().indptr).max(initial=1))
+            dinv = 1.0 / np.where(rowsq != 0, rowsq * m, 1.0)
+            AT_op = sparse_op_from_scipy(Ah.T.tocsr(), prefer_dia=False)
         if cfg.relax_order:
             cmask = jnp.asarray((cfm == C_PT).astype(real))
         add_dinv = self._additive_dinv(Ah, real)
@@ -343,6 +356,7 @@ class BoomerAMG:
             cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
             c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
             gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up, add_dinv=add_dinv,
+            AT=AT_op,
         )
 
     # -- device-resident setup -----------------------------------------
@@ -608,6 +622,18 @@ def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
         return _cheby_relax(lvl, f, u, cheby_order, num_sweeps)
 
     A, dinv = lvl.A, lvl.dinv
+    if relax_type == 30:
+        # Kaczmarz (ref: par_relax.c hypre_BoomerAMGRelaxKaczmarz).
+        # The sequential row-projection sweep has no parallel order;
+        # this is the simultaneous (Cimmino) form
+        #   u += w * A^T D^{-1} (f - A u),  D_ii = ||a_i||_2^2
+        # — the natural SPMD Kaczmarz, SPD for any A.
+        AT = lvl.AT if lvl.AT is not None else A
+        for _ in range(num_sweeps):
+            r = f if u is None else f - matvec(A, u)
+            z = w * matvec(AT, dinv * r)
+            u = z if u is None else u + z
+        return u
     if relax_type in (3, 4, 6, 8, 13, 14) \
             and (lvl.gs_lo is not None or lvl.gs_wf_lo is not None):
         # exact (l1-)GS — dense triangular solves on small levels,
@@ -633,7 +659,10 @@ def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
             else:                        # 14, 4: backward down / fwd up
                 u = gs_sweep(u, not up)
         return u
-    two_stage = relax_type in (11, 12, 13, 14, 8) and lvl.L is not None
+    # 5 = "chaotic" GS (ref: par_relax.c ChaoticGaussSeidel): the
+    # nondeterministic on-processor GS; its deterministic TPU analog is
+    # the two-stage GS update with the plain diagonal
+    two_stage = relax_type in (5, 11, 12, 13, 14, 8) and lvl.L is not None
     # forward sweep going down, backward going up keeps the cycle a
     # symmetric preconditioner (the hypre 13-down / 14-up pairing)
     tri = None

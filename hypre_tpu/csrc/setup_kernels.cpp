@@ -1170,8 +1170,14 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   const int64_t n_chunks_pad = n_steps * CH_STEP;
   const bool square = (n_rows == n_cols);
 
+  // square: diagonal-centered offsets.  rectangular (P/R): relative to
+  // the row's own first (min) column — a linear row->col shift drifts
+  // against the actual coarse-point geometry and blows the window
+  // width c (CSR indices are sorted, so indptr[r] is the row min).
   auto row_shift = [&](int64_t r) -> int64_t {
-    return square ? r : (r * n_cols) / n_rows;
+    if (square) return r;
+    if (indptr[r] < indptr[r + 1]) return (int64_t)indices[indptr[r]];
+    return (r * n_cols) / n_rows;
   };
 
   const bool cache_hit = pass == 1 && g_gst.valid

@@ -191,8 +191,16 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     if n_rows == n_cols:
         d = col - row
     else:
-        shift_of_row = (np.arange(n_rows, dtype=np.int64) * n_cols
-                        ) // max(n_rows, 1)
+        # rectangular (P/R): cluster relative to each row's own first
+        # column.  A linear row->col shift drifts against the actual
+        # coarse-point geometry (PMIS density varies locally), smearing
+        # offsets by thousands and blowing the window width c; the
+        # row's min column tracks the geometry exactly.
+        shift_of_row = np.empty(n_rows, dtype=np.int64)
+        shift_of_row[:] = (np.arange(n_rows, dtype=np.int64) * n_cols
+                           ) // max(n_rows, 1)
+        nonempty = row_nnz > 0
+        shift_of_row[nonempty] = col[indptr[:-1][nonempty]]
         d = col - shift_of_row[row]
     dmin = int(d.min())
     span = int(d.max()) - dmin + 1
@@ -368,16 +376,19 @@ def _band_bases(base_steps, c, max_win_rows=MAX_WIN_ROWS):
 
 def _pick_ch_step(n_chunks, G, resident):
     """Chunks per grid step: amortize per-step fixed costs (grid
-    dispatch ~1 us + band-DMA latency) over >= ~0.75 MB of slot data
-    without exceeding a ~3 MB per-step block."""
-    if resident:
-        per_chunk = 8 * G * CHUNK * 6          # vals f32 + locs i16
-        target = max(1, (768 * 1024) // per_chunk)
-    else:
-        per_chunk = 8 * G * CHUNK * 6
-        target = max(1, (1536 * 1024) // per_chunk)
+    dispatch ~1 us + band-DMA latency) over >= ~3 MB of slot data.
+    VMEM budget: 2x the step block (pipeline double-buffer) + the
+    resident x block (<= VMEM_X_LIMIT) or 2x band windows, within the
+    16 MB VMEM."""
+    ov = os.environ.get("HYPRE_TPU_GSTELL_CHSTEP")
+    if ov:
+        return int(ov)
+    per_chunk = 8 * G * CHUNK * 6              # vals f32 + locs i16
+    target = max(1, (3 * 1024 * 1024) // per_chunk)
     ch = 1 << (target.bit_length() - 1)
-    return int(max(CH_STEP, min(64, ch)))
+    # never pad a small matrix past its own chunk count
+    cap = 1 << max(int(n_chunks) - 1, 1).bit_length()
+    return int(max(CH_STEP, min(256, cap, ch)))
 
 
 def _finish_pack(base_steps, locs, vals, *, n_rows, n_cols, c, G,
@@ -451,7 +462,7 @@ def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
         locs_arr = jnp.asarray(locs)
         vals_arr = jnp.asarray(vals)
     else:
-        locs_arr, vals_arr = locs, vals
+        locs_arr, vals_arr = _default_layout(locs, vals)
 
     return GstEllMatrix(
         base=jnp.asarray(base_steps.reshape(n_steps, ch_step, G, 8)
@@ -462,6 +473,33 @@ def _finish_pack_at(base_flat, locs, vals, *, n_rows, n_cols, c, G,
         x_rows_pad=int(x_rows_pad), resident=bool(resident),
         nnz=int(nnz), ch_step=int(ch_step),
     )
+
+
+def _default_layout(*arrays):
+    """Re-lay-out device arrays to the default (descending
+    major_to_minor, (8, 128)-tiled) layout with one on-device copy.
+
+    jit programs whose outputs pass through transposes/reshapes (the
+    device packers) can come out with a PERMUTED physical layout; the
+    pallas kernel's per-step block fetches then run ~20x slower
+    (measured 48 ms vs 2.4 ms on the 64^3 stencil matvec).  Pallas
+    assumes default layouts — guarantee them here."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    outs = []
+    for a in arrays:
+        if a is None or isinstance(a, np.ndarray):
+            outs.append(a)
+            continue
+        try:
+            dev = next(iter(a.devices()))
+            fmt = Format(Layout(tuple(range(a.ndim))),
+                         SingleDeviceSharding(dev))
+            outs.append(jax.jit(lambda x: x, out_shardings=fmt)(a))
+        except Exception:
+            outs.append(a)      # CPU/older backends: layouts are moot
+    return outs
 
 
 @partial(jax.jit, static_argnames=("extra", "shape4"))

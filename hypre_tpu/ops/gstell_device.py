@@ -39,13 +39,19 @@ _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
 def _offsets(cols, valid, n_rows, n_cols):
-    """cols slot-major (w, n); offset per entry (row on the lane dim)."""
+    """cols slot-major (w, n); offset per entry (row on the lane dim).
+
+    Square: diagonal-centered (col - row).  Rectangular (P/R): relative
+    to the row's own first column — DEll slots are CSR-sorted so slot 0
+    holds the row minimum; a linear row->col shift drifts against the
+    actual coarse geometry and blows the window width c."""
     row = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
     if n_rows == n_cols:
         shift = row
     else:
-        shift = (row.astype(jnp.int64) * n_cols // max(n_rows, 1)) \
+        lin = (row.astype(jnp.int64) * n_cols // max(n_rows, 1)) \
             .astype(jnp.int32)
+        shift = jnp.where(valid[0][None, :], cols[0][None, :], lin)
     return jnp.where(valid, cols - shift, _BIG)
 
 

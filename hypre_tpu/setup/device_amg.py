@@ -256,64 +256,76 @@ def pmis_hash32_np(ids: np.ndarray, seed: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("seed",))
-def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
-                global_ids: jax.Array | None = None) -> jax.Array:
-    """CF marker (C_PT/F_PT/SF_PT) via PMIS over slot-major (w, n)
-    cols/strong.  Mirrors setup/coarsen.pmis (ref: src/parcsr_ls/
-    par_coarsen.c:2101) with the 32-bit hash; ties additionally broken
-    by global id so the selection loop always terminates."""
+def _pmis_init(cols, strong, seed, global_ids):
     n = cols.shape[1]
-    if global_ids is None:
-        global_ids = jnp.arange(n, dtype=jnp.int32)
     scols = jnp.where(strong, cols, n)          # n = dropped in scatters
-    gcols = jnp.where(strong, cols, 0)          # 0 = safe gather index
-
     # measure = |S^T column| + hash
     ones = strong.astype(jnp.float32)
     st_deg = jnp.zeros((n,), jnp.float32).at[scols.reshape(-1)].add(
         ones.reshape(-1), mode="drop")
     measure = st_deg + pmis_hash32(global_ids, seed)
-
     isolated = ~jnp.any(strong, axis=0)
     cf0 = jnp.where(isolated, jnp.int32(SF_PT), jnp.int32(0))
     measure = jnp.where(isolated, 0.0, measure)
-    gid = global_ids
+    return cf0, measure
 
-    def cond(state):
-        cf, m = state
-        return jnp.any(cf == 0)
 
-    def body(state):
-        cf, m = state
-        un = cf == 0
-        cand = un & (m > 1.0)
-        cand_j = jnp.take(cand, gcols) & strong
-        m_j = jnp.take(m, gcols)
-        gid_j = jnp.take(gid, gcols)
-        beats_me = (m_j > m[None, :]) | ((m_j == m[None, :])
-                                         & (gid_j > gid[None, :]))
-        out_row = jnp.any(cand_j & cand[None, :] & beats_me, axis=0)
-        # scatter side: i beats j along edge (i, j)
-        i_beats = (cand[None, :] & cand_j
-                   & ((m[None, :] > m_j) | ((m[None, :] == m_j)
-                                            & (gid[None, :] > gid_j))))
-        out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
-            i_beats.reshape(-1), mode="drop")
-        new_c = cand & ~(out_row | out_sc)
-        cf = jnp.where(new_c, jnp.int32(C_PT), cf)
+@jax.jit
+def _pmis_round(cols, strong, gid, cf, m):
+    """One PMIS selection round.  Split out of the old lax.while_loop:
+    one round per XLA program keeps each execution far below the TPU
+    worker's 60 s single-program watchdog at 256^3+ (the whole-loop
+    program was ~70 s there and killed the worker)."""
+    n = cols.shape[1]
+    scols = jnp.where(strong, cols, n)
+    gcols = jnp.where(strong, cols, 0)
+    un = cf == 0
+    cand = un & (m > 1.0)
+    cand_j = jnp.take(cand, gcols) & strong
+    m_j = jnp.take(m, gcols)
+    gid_j = jnp.take(gid, gcols)
+    beats_me = (m_j > m[None, :]) | ((m_j == m[None, :])
+                                     & (gid_j > gid[None, :]))
+    out_row = jnp.any(cand_j & cand[None, :] & beats_me, axis=0)
+    # scatter side: i beats j along edge (i, j)
+    i_beats = (cand[None, :] & cand_j
+               & ((m[None, :] > m_j) | ((m[None, :] == m_j)
+                                        & (gid[None, :] > gid_j))))
+    out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
+        i_beats.reshape(-1), mode="drop")
+    new_c = cand & ~(out_row | out_sc)
+    cf = jnp.where(new_c, jnp.int32(C_PT), cf)
 
-        low = un & (m < 1.0)
-        cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
+    low = un & (m < 1.0)
+    cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
 
-        is_c = cf == C_PT
-        has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=0)
-        make_f = un & ~new_c & ~low & has_c_dep
-        cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
+    is_c = cf == C_PT
+    has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=0)
+    make_f = un & ~new_c & ~low & has_c_dep
+    cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
 
-        m = jnp.where(un & (cf != 0), 0.0, m)
-        return cf, m
+    m = jnp.where(un & (cf != 0), 0.0, m)
+    return cf, m, jnp.any(cf == 0)
 
-    cf, _ = jax.lax.while_loop(cond, body, (cf0, measure))
+
+def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
+                global_ids: jax.Array | None = None) -> jax.Array:
+    """CF marker (C_PT/F_PT/SF_PT) via PMIS over slot-major (w, n)
+    cols/strong.  Mirrors setup/coarsen.pmis (ref: src/parcsr_ls/
+    par_coarsen.c:2101) with the 32-bit hash; ties additionally broken
+    by global id so the selection loop always terminates.
+
+    The selection loop runs on the HOST with one jitted program per
+    round (a bool sync per round): the fused while_loop variant was one
+    ~70 s program at 256^3 and tripped the 60 s worker watchdog."""
+    n = cols.shape[1]
+    if global_ids is None:
+        global_ids = jnp.arange(n, dtype=jnp.int32)
+    cf, m = _pmis_init(cols, strong, seed, global_ids)
+    unfinished = bool(jnp.any(cf == 0))
+    while unfinished:
+        cf, m, more = _pmis_round(cols, strong, global_ids, cf, m)
+        unfinished = bool(more)
     return cf
 
 
@@ -380,8 +392,6 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     return P
 
 
-@partial(jax.jit, static_argnames=("n_coarse", "trunc_factor",
-                                   "max_elmts", "chunk"))
 def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
                         n_coarse: int = -1,
                         trunc_factor: float = 0.0, max_elmts: int = 4,
@@ -396,8 +406,35 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     membership tests are per-lane binary searches against it; the
     distribution term expands each strong-F edge over its neighbor row
     (w² candidates), and the chunk compacts + truncates before writing
-    out, so peak memory is O(chunk · w²), never O(n · w²)."""
+    out, so peak memory is O(chunk · w²), never O(n · w²).
+
+    The chunk loop runs on the HOST (one jitted program per chunk,
+    pipelined — no syncs between chunks): a fused lax.map over all
+    chunks is one program whose runtime scales with n and trips the
+    60 s worker watchdog at large sizes."""
     w, n = A.cols.shape
+    prep = _extpi_prepare(A, strong, cf, chunk=chunk, n=n)
+    (is_c, is_f, cmap, diag, strong_c_all, sign_diag,
+     colsP, valsP, strgP, cfP, diagP) = prep
+    n_pad = -(-n // chunk) * chunk
+    n_ch = n_pad // chunk
+    gidP = np.arange(n_pad, dtype=np.int32).reshape(n_ch, chunk)
+
+    pcs = []
+    pvs = []
+    for i in range(n_ch):
+        pc_i, pv_i = _extpi_chunk(
+            colsP[i], valsP[i], strgP[i], cfP[i], diagP[i],
+            jnp.asarray(gidP[i]), A.cols, A.vals, cf, is_c, is_f,
+            strong_c_all, sign_diag, n=n,
+            trunc_factor=trunc_factor, max_elmts=max_elmts)
+        pcs.append(pc_i)
+        pvs.append(pv_i)
+    return _extpi_finish(pcs, pvs, cmap, n=n, n_coarse=n_coarse)
+
+
+@partial(jax.jit, static_argnames=("chunk", "n"))
+def _extpi_prepare(A: DEll, strong, cf, chunk: int, n: int):
     is_c = cf == C_PT
     is_f = cf == F_PT
     cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
@@ -406,11 +443,6 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     gcols_all = jnp.where(valid_all, A.cols, 0)
     strong_c_all = strong & jnp.take(is_c, gcols_all)
     sign_diag = jnp.sign(diag)
-
-    wc = w * (1 + w)
-
-    # the chunk body needs the global row index for diagonal tests and
-    # the "+i" self term, so chunking is done manually (not _chunked)
     n_pad = -(-n // chunk) * chunk
     n_ch = n_pad // chunk
 
@@ -422,17 +454,25 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
         a = jnp.pad(a, [(0, n_pad - n)], constant_values=pv)
         return a.reshape(n_ch, chunk)
 
-    colsP = pad_t(A.cols, -1)
-    valsP = pad_t(A.vals, 0)
-    strgP = pad_t(strong, False)
-    cfP = pad_t(cf, SF_PT)
-    diagP = pad_t(diag, 1.0)
-    gidP = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_ch, chunk)
+    return (is_c, is_f, cmap, diag, strong_c_all, sign_diag,
+            pad_t(A.cols, -1), pad_t(A.vals, 0), pad_t(strong, False),
+            pad_t(cf, SF_PT), pad_t(diag, 1.0))
 
-    real = A.vals.dtype
 
-    def chunk_fn(args):
-        cols, vals, strg, cfch, diagch, gid = args   # (w, m) / (m,)
+@partial(jax.jit, static_argnames=("n", "trunc_factor", "max_elmts"))
+def _extpi_chunk(cols, vals, strg, cfch, diagch, gid,
+                 A_cols, A_vals, cf, is_c, is_f, strong_c_all,
+                 sign_diag, *, n, trunc_factor, max_elmts):
+    w = cols.shape[0]
+    wc = w * (1 + w)
+    real = vals.dtype
+
+    class _A:                                         # gather views
+        cols = A_cols
+        vals = A_vals
+
+    A = _A
+    if True:
         m = cols.shape[1]
         valid = cols >= 0
         gcols = jnp.where(valid, cols, 0)
@@ -524,12 +564,12 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
             Pch = device_truncate(Pch, trunc_factor, max_elmts)
         return Pch.cols, Pch.vals
 
-    pcols, pvals = jax.lax.map(
-        chunk_fn, (colsP, valsP, strgP, cfP, diagP, gidP))
-    # (n_ch, w_out, chunk) -> (w_out, n)
-    pcols = pcols.transpose(1, 0, 2).reshape(pcols.shape[1], n_pad)[:, :n]
-    pvals = pvals.transpose(1, 0, 2).reshape(pvals.shape[1], n_pad)[:, :n]
-    # fine-col -> coarse-col renumbering
+
+@partial(jax.jit, static_argnames=("n", "n_coarse"))
+def _extpi_finish(pcs, pvs, cmap, *, n, n_coarse):
+    # (n_ch x (w_out, chunk)) -> (w_out, n), then renumber fine->coarse
+    pcols = jnp.concatenate(pcs, axis=1)[:, :n]
+    pvals = jnp.concatenate(pvs, axis=1)[:, :n]
     pcols = jnp.where(pcols >= 0,
                       jnp.take(cmap, jnp.where(pcols >= 0, pcols, 0)),
                       -1)
@@ -659,50 +699,68 @@ def _stack_chunks(a, n, chunk, pad_value):
     return a.reshape(a.shape[0], n_pad // chunk, chunk).transpose(1, 0, 2)
 
 
+@partial(jax.jit, static_argnames=("n", "chunk", "pad_value"))
+def _stack_chunks_jit(a, *, n, chunk, pad_value):
+    return _stack_chunks(a, n, chunk, pad_value)
+
+
 def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
-    """Max distinct cols of any row of A @ B (host int; one sync)."""
-    return int(_spgemm_width_dev(A, B, chunk=chunk))
+    """Max distinct cols of any row of A @ B (host int; one sync).
+    Host chunk loop (one program per chunk, single sync at the end):
+    a fused lax.map is one long program and trips the 60 s watchdog."""
+    n = A.n_rows
+    ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
+    n_ch = ac_all.shape[0]
+    parts = [_spgemm_width_chunk(ac_all[i], B.cols) for i in range(n_ch)]
+    return int(jnp.max(jnp.stack(parts)))
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _spgemm_width_dev(A: DEll, B: DEll, chunk: int = 65536):
-    n, wa, wb = A.n_rows, A.width, B.width
-    ac_all = _stack_chunks(A.cols, n, chunk, -1)
-
-    def f(ac):                                    # (wa, chunk)
-        safe = jnp.where(ac >= 0, ac, 0)
-        bc = jnp.take(B.cols, safe, axis=1)       # (wb, wa, chunk)
-        bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
-        return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
-
-    return jnp.max(jax.lax.map(f, ac_all))
+@jax.jit
+def _spgemm_width_chunk(ac, B_cols):
+    wb = B_cols.shape[0]
+    wa, chunk = ac.shape
+    safe = jnp.where(ac >= 0, ac, 0)
+    bc = jnp.take(B_cols, safe, axis=1)           # (wb, wa, chunk)
+    bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
+    return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
 
 
-@partial(jax.jit, static_argnames=("out_width", "chunk"))
 def device_spgemm(A: DEll, B: DEll, out_width: int,
                   chunk: int = 65536) -> DEll:
     """C = A @ B (ref: src/seq_mv/csr_spgemm_device.c:15 — the two-pass
     hash SpGEMM becomes gather + per-row sort + segment-sum, chunked to
-    bound the (wa*wb, chunk) candidate buffer)."""
-    n, wa, wb = A.n_rows, A.width, B.width
-
-    def f(args):
-        ac, av = args                             # (wa, chunk)
-        safe = jnp.where(ac >= 0, ac, 0)
-        bc = jnp.take(B.cols, safe, axis=1)       # (wb, wa, chunk)
-        bv = jnp.take(B.vals, safe, axis=1)
-        bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
-        bv = bv * av[None, :, :]
-        return _slot_compact(bc.reshape(wb * wa, chunk),
-                             bv.reshape(wb * wa, chunk), out_width)
-
-    cols, vals = jax.lax.map(
-        f, (_stack_chunks(A.cols, n, chunk, -1),
-            _stack_chunks(A.vals, n, chunk, 0)))
-    n_pad = cols.shape[0] * chunk
-    cols = cols.transpose(1, 0, 2).reshape(out_width, n_pad)[:, :n]
-    vals = vals.transpose(1, 0, 2).reshape(out_width, n_pad)[:, :n]
+    bound the (wa*wb, chunk) candidate buffer).  The chunk loop runs on
+    the host (pipelined programs, no intermediate syncs) to stay under
+    the worker's 60 s single-program watchdog."""
+    n = A.n_rows
+    ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
+    av_all = _stack_chunks_jit(A.vals, n=n, chunk=chunk, pad_value=0)
+    n_ch = ac_all.shape[0]
+    outs = [_spgemm_chunk(ac_all[i], av_all[i], B.cols, B.vals,
+                          out_width=out_width) for i in range(n_ch)]
+    cols, vals = _spgemm_finish([o[0] for o in outs],
+                                [o[1] for o in outs], n=n)
     return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
+
+
+@partial(jax.jit, static_argnames=("out_width",))
+def _spgemm_chunk(ac, av, B_cols, B_vals, *, out_width):
+    wb = B_cols.shape[0]
+    wa, chunk = ac.shape
+    safe = jnp.where(ac >= 0, ac, 0)
+    bc = jnp.take(B_cols, safe, axis=1)           # (wb, wa, chunk)
+    bv = jnp.take(B_vals, safe, axis=1)
+    bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
+    bv = bv * av[None, :, :]
+    return _slot_compact(bc.reshape(wb * wa, chunk),
+                         bv.reshape(wb * wa, chunk), out_width)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _spgemm_finish(cols_list, vals_list, *, n):
+    cols = jnp.concatenate(cols_list, axis=1)[:, :n]
+    vals = jnp.concatenate(vals_list, axis=1)[:, :n]
+    return cols, vals
 
 
 def device_transpose_width(M: DEll) -> int:

@@ -1128,10 +1128,10 @@ struct GstellCache {
   bool valid = false;
   const void* key_ptr = nullptr;
   int64_t n_rows = 0, n_cols = 0, nnz = 0, gap = 0;
-  int64_t dmin = 0, n_clusters = 0, G = 0, c = 0, B = 0, eb = 0;
+  int64_t n_clusters = 0, G = 0, c = 0, B = 0, eb = 0;
   int64_t x_rows_pad = 0;
   bool resident = false;
-  std::vector<int32_t> lut, slot_start, base, nb, starts_tmp, w0b;
+  std::vector<int32_t> slot_of, base, nb, starts_tmp, w0b;
 };
 GstellCache g_gst;
 }  // namespace
@@ -1168,102 +1168,84 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   const int64_t n_chunks = (n_rows + CHUNK - 1) / CHUNK;
   const int64_t n_steps = (n_chunks + CH_STEP - 1) / CH_STEP;
   const int64_t n_chunks_pad = n_steps * CH_STEP;
-  const bool square = (n_rows == n_cols);
-
-  // square: diagonal-centered offsets.  rectangular (P/R): relative to
-  // the row's own first (min) column — a linear row->col shift drifts
-  // against the actual coarse-point geometry and blows the window
-  // width c (CSR indices are sorted, so indptr[r] is the row min).
-  auto row_shift = [&](int64_t r) -> int64_t {
-    if (square) return r;
-    if (indptr[r] < indptr[r + 1]) return (int64_t)indices[indptr[r]];
-    return (r * n_cols) / n_rows;
-  };
-
   const bool cache_hit = pass == 1 && g_gst.valid
       && g_gst.key_ptr == (const void*)indptr && g_gst.n_rows == n_rows
       && g_gst.n_cols == n_cols && g_gst.nnz == nnz && g_gst.gap == gap;
   if (!cache_hit) {
   g_gst.valid = false;
 
-  // ---- offset range ----
-  int64_t dmin = INT64_MAX, dmax = INT64_MIN;
-#pragma omp parallel for schedule(static) \
-    reduction(min : dmin) reduction(max : dmax)
-  for (int64_t r = 0; r < n_rows; ++r) {
-    const int64_t sh = row_shift(r);
-    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-      const int64_t d = (int64_t)indices[p] - sh;
-      if (d < dmin) dmin = d;
-      if (d > dmax) dmax = d;
-    }
-  }
-  const int64_t span = dmax - dmin + 1;
-
-  // ---- cluster lut over the offset span ----
-  // (span > 2^27 would need a sort-unique path; AMG operators are
-  // banded so the span is ~stencil reach — refuse rather than thrash)
-  if (span > (int64_t(1) << 27)) return;
-  std::vector<uint8_t> present(span, 0);
-#pragma omp parallel for schedule(static)
-  for (int64_t r = 0; r < n_rows; ++r) {
-    const int64_t sh = row_shift(r);
-    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-      uint8_t& cell = present[(int64_t)indices[p] - sh - dmin];
-      if (!cell) cell = 1;  // benign race: only ever 0->1
-    }
-  }
-  std::vector<int32_t>& lut = g_gst.lut;
-  lut.assign(span, 0);
-  int64_t n_clusters = 0;
+  // ---- PER-CHUNK column clustering + slot assignment ----
+  // Clusters are runs of the sorted union of each chunk's column
+  // indices (split where the gap exceeds `gap`).  Global offset
+  // clustering (the old design) smears for rectangular P/R: the union
+  // over all rows of per-row-relative offsets fills in and merges into
+  // one fat cluster, blowing the window width c to 90-260 at 128^3.
+  // Per-chunk windows track the local geometry (c ~ 2-7).
+  std::vector<int32_t>& slot_of = g_gst.slot_of;  // per-entry slot id
+  slot_of.assign(nnz, 0);
+  int64_t S_max = 0, n_clusters = 0;
+#pragma omp parallel reduction(max : S_max) reduction(max : n_clusters)
   {
-    int64_t prev = INT64_MIN;
-    for (int64_t o = 0; o < span; ++o) {
-      if (!present[o]) continue;
-      if (prev != INT64_MIN && o - prev > gap) ++n_clusters;
-      lut[o] = (int32_t)n_clusters;
-      prev = o;
+    std::vector<int32_t> buf;       // chunk cols, sorted
+    std::vector<int32_t> starts;    // cluster start cols
+    std::vector<int32_t> m;         // max run len -> slot start
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t ch = 0; ch < n_chunks; ++ch) {
+      const int64_t r0 = ch * CHUNK;
+      const int64_t r1 = std::min(r0 + CHUNK, n_rows);
+      const int64_t p0 = indptr[r0], p1 = indptr[r1];
+      if (p0 == p1) continue;
+      buf.assign(indices + p0, indices + p1);
+      std::sort(buf.begin(), buf.end());
+      starts.clear();
+      starts.push_back(buf[0]);
+      for (size_t i = 1; i < buf.size(); ++i)
+        if ((int64_t)buf[i] - buf[i - 1] > gap) starts.push_back(buf[i]);
+      const int64_t ncl = (int64_t)starts.size();
+      if (ncl > n_clusters) n_clusters = ncl;
+      auto cl_of = [&](int32_t col) -> int32_t {
+        return (int32_t)(std::upper_bound(starts.begin(), starts.end(),
+                                          col) - starts.begin()) - 1;
+      };
+      m.assign(ncl, 0);
+      // max run length per cluster (a run = consecutive same-cluster
+      // entries within one row; CSR columns are sorted so runs are
+      // contiguous and clusters ascend within a row)
+      for (int64_t r = r0; r < r1; ++r) {
+        int32_t cur = -1, len = 0;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int32_t cl = cl_of(indices[p]);
+          if (cl != cur) {
+            if (cur >= 0 && len > m[cur]) m[cur] = len;
+            cur = cl;
+            len = 1;
+          } else {
+            ++len;
+          }
+        }
+        if (cur >= 0 && len > m[cur]) m[cur] = len;
+      }
+      int32_t acc = 0;
+      for (int64_t cl = 0; cl < ncl; ++cl) {
+        const int32_t mm = m[cl];
+        m[cl] = acc;          // m[] becomes slot_start per cluster
+        acc += mm;
+      }
+      if (acc > S_max) S_max = acc;
+      // per-entry slots
+      for (int64_t r = r0; r < r1; ++r) {
+        int32_t cur = -1, rank = 0;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int32_t cl = cl_of(indices[p]);
+          rank = (cl == cur) ? rank + 1 : 0;
+          cur = cl;
+          slot_of[p] = m[cl] + rank;
+        }
+      }
     }
-    ++n_clusters;
   }
   if (n_clusters > 8 * MAX_G) return;
   plan[7] = n_clusters;
-
-  // ---- per-chunk max run length per cluster -> slot starts ----
-  // (a run = consecutive same-cluster entries within one row; CSR
-  // columns are sorted so runs are contiguous)
-  std::vector<int32_t>& slot_start = g_gst.slot_start;
-  slot_start.assign(n_chunks * n_clusters, 0);
-  int64_t S_max = 0;
-#pragma omp parallel for schedule(static) reduction(max : S_max)
-  for (int64_t ch = 0; ch < n_chunks; ++ch) {
-    int32_t* m = &slot_start[ch * n_clusters];
-    const int64_t r0 = ch * CHUNK;
-    const int64_t r1 = std::min(r0 + CHUNK, n_rows);
-    for (int64_t r = r0; r < r1; ++r) {
-      const int64_t sh = row_shift(r) + dmin;
-      int32_t cur = -1, len = 0;
-      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-        const int32_t cl = lut[(int64_t)indices[p] - sh];
-        if (cl != cur) {
-          if (cur >= 0 && len > m[cur]) m[cur] = len;
-          cur = cl;
-          len = 1;
-        } else {
-          ++len;
-        }
-      }
-      if (cur >= 0 && len > m[cur]) m[cur] = len;
-    }
-    // in-place exclusive prefix: m[] becomes slot_start per cluster
-    int32_t acc = 0;
-    for (int64_t cl = 0; cl < n_clusters; ++cl) {
-      const int32_t mm = m[cl];
-      m[cl] = acc;
-      acc += mm;
-    }
-    if (acc > S_max) S_max = acc;
-  }
   const int64_t G = (S_max + 7) / 8;
   if (G == 0 || G > MAX_G) return;
   const int64_t SLOTS = 8 * G;
@@ -1275,23 +1257,15 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   std::vector<int64_t> cmax(n_chunks_pad * SLOTS, -1);
 #pragma omp parallel for schedule(static)
   for (int64_t ch = 0; ch < n_chunks; ++ch) {
-    const int32_t* ss = &slot_start[ch * n_clusters];
     int64_t* cn = &cmin[ch * SLOTS];
     int64_t* cx = &cmax[ch * SLOTS];
     const int64_t r0 = ch * CHUNK;
     const int64_t r1 = std::min(r0 + CHUNK, n_rows);
-    for (int64_t r = r0; r < r1; ++r) {
-      const int64_t sh = row_shift(r) + dmin;
-      int32_t cur = -1, rank = 0;
-      for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-        const int64_t col = indices[p];
-        const int32_t cl = lut[col - sh];
-        rank = (cl == cur) ? rank + 1 : 0;
-        cur = cl;
-        const int64_t s = ss[cl] + rank;
-        if (col < cn[s]) cn[s] = col;
-        if (col > cx[s]) cx[s] = col;
-      }
+    for (int64_t p = indptr[r0]; p < indptr[r1]; ++p) {
+      const int64_t col = indices[p];
+      const int64_t s = slot_of[p];
+      if (col < cn[s]) cn[s] = col;
+      if (col > cx[s]) cx[s] = col;
     }
   }
 
@@ -1426,17 +1400,16 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   g_gst.key_ptr = (const void*)indptr;
   g_gst.n_rows = n_rows; g_gst.n_cols = n_cols;
   g_gst.nnz = nnz; g_gst.gap = gap;
-  g_gst.dmin = dmin; g_gst.n_clusters = n_clusters;
+  g_gst.n_clusters = n_clusters;
   g_gst.G = G; g_gst.c = c; g_gst.B = B; g_gst.eb = eb;
   g_gst.x_rows_pad = x_rows_pad; g_gst.resident = resident;
   }  // !cache_hit
 
-  const int64_t dmin = g_gst.dmin, n_clusters = g_gst.n_clusters;
+  const int64_t n_clusters = g_gst.n_clusters;
   const int64_t G = g_gst.G, c = g_gst.c, B = g_gst.B, eb = g_gst.eb;
   const int64_t SLOTS = 8 * G;
   const bool resident = g_gst.resident;
-  const std::vector<int32_t>& lut = g_gst.lut;
-  const std::vector<int32_t>& slot_start = g_gst.slot_start;
+  const std::vector<int32_t>& slot_of = g_gst.slot_of;
   const std::vector<int32_t>& base = g_gst.base;
   plan[0] = 1;
   plan[1] = G;
@@ -1468,19 +1441,13 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
   bool ok_loc = true;
 #pragma omp parallel for schedule(static) reduction(&& : ok_loc)
   for (int64_t ch = 0; ch < n_chunks; ++ch) {
-    const int32_t* ss = &slot_start[ch * n_clusters];
     const int64_t r0 = ch * CHUNK;
     const int64_t r1 = std::min(r0 + CHUNK, n_rows);
     for (int64_t r = r0; r < r1; ++r) {
-      const int64_t sh = row_shift(r) + dmin;
       const int64_t lane = r - r0;
-      int32_t cur = -1, rank = 0;
       for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
         const int64_t col = indices[p];
-        const int32_t cl = lut[col - sh];
-        rank = (cl == cur) ? rank + 1 : 0;
-        cur = cl;
-        const int64_t s = ss[cl] + rank;
+        const int64_t s = slot_of[p];
         const int64_t loc = col - (int64_t)base[ch * SLOTS + s] * 128;
         if (loc < 0 || loc >= 128 * c) ok_loc = false;
         const int64_t at = (ch * SLOTS + s) * CHUNK + lane;

@@ -85,6 +85,13 @@ def _check(ok: bool, msg: str) -> bool:
     return ok
 
 
+def _why(msg: str) -> None:
+    """Under debug, report which gate rejected the matrix."""
+    if _DEBUG:
+        import sys
+        print(f"[gstell reject] {msg}", file=sys.stderr, flush=True)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["base", "brel", "w0b", "locs", "vals"],
          meta_fields=["n_rows", "n_cols", "c", "g", "b", "eb", "x_rows",
@@ -186,46 +193,43 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     dat = A.data
     row_nnz = np.diff(indptr)
     row = np.repeat(np.arange(n_rows, dtype=np.int64), row_nnz)
+    chunk = row // CHUNK
+    lane = row % CHUNK
+    n_chunks = -(-n_rows // CHUNK)
+    n_steps = -(-n_chunks // CH_STEP)
+    n_chunks_pad = n_steps * CH_STEP
 
-    # --- offset clustering (O(nnz), no global sorts) ------------------
-    if n_rows == n_cols:
-        d = col - row
-    else:
-        # rectangular (P/R): cluster relative to each row's own first
-        # column.  A linear row->col shift drifts against the actual
-        # coarse-point geometry (PMIS density varies locally), smearing
-        # offsets by thousands and blowing the window width c; the
-        # row's min column tracks the geometry exactly.
-        shift_of_row = np.empty(n_rows, dtype=np.int64)
-        shift_of_row[:] = (np.arange(n_rows, dtype=np.int64) * n_cols
-                           ) // max(n_rows, 1)
-        nonempty = row_nnz > 0
-        shift_of_row[nonempty] = col[indptr[:-1][nonempty]]
-        d = col - shift_of_row[row]
-    dmin = int(d.min())
-    span = int(d.max()) - dmin + 1
-    if span <= 1 << 27:
-        # bincount-style unique: O(nnz + span), no sort
-        present = np.zeros(span, dtype=bool)
-        present[d - dmin] = True
-        ud = np.flatnonzero(present).astype(np.int64) + dmin
-    else:
-        ud = np.unique(d)
-    cl_of_ud = np.concatenate([[0], np.cumsum(np.diff(ud) > gap)])
-    n_clusters = int(cl_of_ud[-1]) + 1
+    # --- PER-CHUNK column clustering ----------------------------------
+    # Cluster the raw column indices within each chunk of 128 rows
+    # (split where the sorted-union gap exceeds `gap`).  Global
+    # clustering (the old design) smears: for rectangular P/R the union
+    # over all rows of per-row-relative offsets fills in and merges
+    # into one fat cluster, blowing the window width c to 90-260 at
+    # 128^3; per-chunk clusters track the local geometry and keep the
+    # spread near the true local bandwidth (c ~ 2-6).
+    order = np.lexsort((col, chunk))
+    scol = col[order]
+    schunk = chunk[order]
+    newch = np.empty(nnz, dtype=bool)
+    newch[0] = True
+    newch[1:] = schunk[1:] != schunk[:-1]
+    newcl = newch.copy()
+    newcl[1:] |= (scol[1:] - scol[:-1]) > gap
+    gcl = np.cumsum(newcl) - 1                 # global cluster id
+    chunk_seq = np.cumsum(newch) - 1           # dense chunk rank
+    first_gcl = gcl[newch]                     # per nonempty chunk
+    ecl_sorted = gcl - first_gcl[chunk_seq]    # per-chunk cluster index
+    n_clusters = int(ecl_sorted.max(initial=0)) + 1
     if n_clusters > 8 * MAX_G:
+        _why(f"n_clusters={n_clusters} > {8*MAX_G}")
         return None
-    if span <= 1 << 27:
-        lut = np.zeros(span, dtype=np.int32)
-        lut[ud - dmin] = cl_of_ud
-        ecl = lut[d - dmin]
-    else:
-        ecl = cl_of_ud[np.searchsorted(ud, d)].astype(np.int32)
+    ecl = np.empty(nnz, dtype=np.int64)
+    ecl[order] = ecl_sorted
 
     # --- rank within (row, cluster) via run detection ----------------
-    # CSR column indices are sorted per row and the row shift is
-    # constant within a row, so same-cluster entries form contiguous
-    # ascending runs.  rank = position inside the run.
+    # CSR column indices are sorted per row, and per-chunk clusters are
+    # disjoint ascending column ranges, so same-cluster entries form
+    # contiguous ascending runs within a row.  rank = position in run.
     newrun = np.empty(nnz, dtype=bool)
     newrun[0] = True
     newrun[1:] = ecl[1:] != ecl[:-1]
@@ -238,12 +242,6 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     # slot range its own rows need — slots have per-chunk meaning (the
     # window bases are per-chunk anyway), which keeps G near the true
     # max row width instead of the sum of global cluster maxima.
-    chunk = row // CHUNK
-    lane = row % CHUNK
-    n_chunks = -(-n_rows // CHUNK)
-    n_steps = -(-n_chunks // CH_STEP)
-    n_chunks_pad = n_steps * CH_STEP
-
     # max run length per (chunk, cluster) — reduce over runs, not nnz
     run_len = np.diff(np.append(run_start, nnz))
     run_chunk = chunk[run_start]
@@ -256,12 +254,14 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     S_max = int(m_2d.sum(axis=1).max(initial=0))
     G = -(-S_max // 8)
     if G == 0 or G > MAX_G:
+        _why(f"G={G} (S_max={S_max}) > {MAX_G}")
         return None
 
     # refuse pathological padding before allocating (a non-banded
     # matrix can pass the G gate yet need many empty slots)
     projected_slots = n_chunks_pad * 8 * G * CHUNK
     if projected_slots > max(16 * nnz, 1 << 20):
+        _why(f"padding {projected_slots} > 16*nnz={16*nnz}")
         return None
 
     slot = slot_start_2d[chunk, ecl] + rank   # per-chunk slot id
@@ -285,6 +285,7 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     # while the XLA-gather fallback is catastrophically slow)
     max_c = MAX_C if nnz > 1_000_000 else 4 * MAX_C
     if c > max_c:
+        _why(f"c={c} > max_c={max_c}")
         return None
 
     # unused slots must not widen the per-step windows: fill them with
@@ -365,6 +366,7 @@ def _band_bases(base_steps, c, max_win_rows=MAX_WIN_ROWS):
     rel = base_steps - np.take_along_axis(w0b, band, axis=1)
     eb = int(rel.max(initial=0)) + c
     if B * eb > max_win_rows:
+        _why(f"bands B={B} eb={eb} > max_win_rows={max_win_rows}")
         return None
     if not _check((rel >= 0).all(), "negative band-relative base"):
         return None

@@ -184,11 +184,15 @@ def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
         import jax as _jax
 
         from hypre_tpu.ops.gstell import (
-            gstell_matvec, gstell_matvec_reference,
+            gstell_matvec_jit, gstell_matvec_reference,
         )
 
         if _jax.default_backend() in ("tpu", "axon"):
-            return gstell_matvec(A, x)
+            # the inner jit makes the pallas kernel trace ONCE per
+            # (c, G, ch_step, shape) config: retracing the kernel body
+            # inside a large outer trace (amg_cycle/pcg) measured
+            # ~22 s per call site vs 1.7 s standalone
+            return gstell_matvec_jit(A, x)
         return gstell_matvec_reference(A, x)
     return ell_matvec(A, x)
 

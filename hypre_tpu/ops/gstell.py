@@ -72,10 +72,13 @@ MAX_WIN_ROWS = 4096   # B * Eb cap: 2 buffers * 4096 * 128 * 4B = 4 MB VMEM
 VMEM_X_LIMIT = 6 * 1024 * 1024
 
 _DEBUG = bool(int(os.environ.get("HYPRE_TPU_GSTELL_DEBUG", "0")))
-# chunk-loop unroll factor: compile time scales with the unrolled body
-# (~15s Mosaic at 64, ~2s at 16; persistent-cached), runtime suffers
-# under serialization (2.5ms vs 3.2ms at 256^3) — default full unroll
-_KUNROLL = int(os.environ.get("HYPRE_TPU_GSTELL_UNROLL", "64"))
+# chunk-loop unroll factor: Python-side Pallas lowering and Mosaic
+# compile both scale with the unrolled body size, and a solve program
+# embeds ~12 kernel instances (A/P/R per level) — at 64 the fused
+# cycle+pcg program takes tens of minutes to lower/compile.  8 keeps
+# lowering seconds-scale; runtime cost of the fori_loop is a few % on
+# the large levels (2.5 vs 3.2 ms measured at 256^3 for 64 vs 16).
+_KUNROLL = int(os.environ.get("HYPRE_TPU_GSTELL_UNROLL", "8"))
 
 
 def _check(ok: bool, msg: str) -> bool:
@@ -608,21 +611,28 @@ def gstell_from_stencil(shape, entries, real_dtype=None):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _chunk_body(base_get, locs_row, vals_row, row_at, c, G, dtype):
+def _chunk_body(base_get, locs_row, vals_row, slab_at, c, G, dtype):
     """Accumulate one chunk's 128 row sums.
 
     base_get: (g, s) -> scalar window base row;
-    row_at:   b -> (1, 128) row b of the x window."""
+    slab_at:  b -> (c, 128) rows [b, b+c) of the x window.
+
+    One (c, 128) slab read per sublane (not c row reads): every traced
+    op costs ~1 ms of lowering time in this JAX version (each jnp op
+    dispatches through the pjit machinery), and the solve program
+    embeds ~12 kernel instances, so op count directly sets the
+    multi-minute lowering wall."""
     total = jnp.zeros((8, 128), dtype=dtype)
     for g in range(G):
         locs_blk = locs_row[g * 8:(g + 1) * 8, :].astype(jnp.int32)
         lane = jnp.bitwise_and(locs_blk, 127)
         sub = jnp.right_shift(locs_blk, 7)
+        # (c, 8, 128): window row w of sublane s at [w, s]
+        slabs = jnp.stack([slab_at(base_get(g, s)) for s in range(8)],
+                          axis=1)
         acc = None
         for w in range(c):
-            tbl = jnp.concatenate(
-                [row_at(base_get(g, s) + w) for s in range(8)], axis=0)
-            gw = jnp.take_along_axis(tbl, lane, axis=1)
+            gw = jnp.take_along_axis(slabs[w], lane, axis=1)
             acc = gw if acc is None else jnp.where(sub == w, gw, acc)
         total = total + vals_row[g * 8:(g + 1) * 8, :] * acc
     return jnp.sum(total, axis=0)
@@ -657,7 +667,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                     y_ref[0, ch, :] = _chunk_body(
                         lambda g, s: base_ref[0, ch, g, s],
                         locs_ref[0, ch], vals_ref[0, ch],
-                        lambda b: x_ref[pl.ds(b, 1), :], c, G, dtype)
+                        lambda b: x_ref[pl.ds(b, c), :], c, G, dtype)
                 return ()
 
             jax.lax.fori_loop(0, CH // K, chunk_at, ())
@@ -723,7 +733,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
                     y_ref[0, ch, :] = _chunk_body(
                         lambda g, s: brel_ref[0, ch, g, s] + off,
                         locs_ref[0, ch], vals_ref[0, ch],
-                        lambda b: win[pl.ds(b, 1), :], c, G, dtype)
+                        lambda b: win[pl.ds(b, c), :], c, G, dtype)
                 return ()
 
             jax.lax.fori_loop(0, CH // K, chunk_at, ())
@@ -756,6 +766,9 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     return y.reshape(-1)[:A.n_rows]
 
 
+gstell_matvec_jit = jax.jit(gstell_matvec)
+
+
 def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     """Pure-jnp semantics of the kernel (CPU tests / fallback)."""
     dtype = A.vals.dtype
@@ -767,6 +780,9 @@ def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     gat = jnp.take(xp, flat.reshape(-1), axis=0).reshape(flat.shape)
     y = jnp.sum(A.vals * gat, axis=2)  # sum over slots
     return y.reshape(-1)[:A.n_rows]
+
+
+gstell_matvec_jit = jax.jit(gstell_matvec)
 
 
 def gstell_matvec_reference_windowed(A: GstEllMatrix,

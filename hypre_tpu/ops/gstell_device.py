@@ -38,70 +38,93 @@ from hypre_tpu.ops.gstell import (
 _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
-def _offsets(cols, valid, n_rows, n_cols):
-    """cols slot-major (w, n); offset per entry (row on the lane dim).
-
-    Square: diagonal-centered (col - row).  Rectangular (P/R): relative
-    to the row's own first column — DEll slots are CSR-sorted so slot 0
-    holds the row minimum; a linear row->col shift drifts against the
-    actual coarse geometry and blows the window width c."""
-    row = jnp.arange(n_rows, dtype=jnp.int32)[None, :]
-    if n_rows == n_cols:
-        shift = row
-    else:
-        lin = (row.astype(jnp.int64) * n_cols // max(n_rows, 1)) \
-            .astype(jnp.int32)
-        shift = jnp.where(valid[0][None, :], cols[0][None, :], lin)
-    return jnp.where(valid, cols - shift, _BIG)
+_CG = 128          # chunks per clustering-group program
 
 
-def _cluster_lut(d, valid, span, dmin):
-    """Presence-bitmap clustering: cluster id per offset position.
+@partial(jax.jit, static_argnames=("gap", "ncmax"))
+def _cluster_group(cols_g, *, gap, ncmax):
+    """PER-CHUNK column clustering for one group of chunks.
 
-    Returns (lut int32[span], n_clusters device scalar)."""
-    pres = jnp.zeros((span,), bool).at[
-        jnp.where(valid, d - dmin, span).reshape(-1)].set(
-            True, mode="drop")
-    idx = jnp.arange(span, dtype=jnp.int32)
-    # previous present position at or before idx-1
-    pp = jnp.where(pres, idx, -1)
-    prev_incl = jax.lax.associative_scan(jnp.maximum, pp)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                            prev_incl[:-1]])
-    newcl = pres & ((prev < 0) | (idx - prev > GAP))
-    cl = jnp.cumsum(newcl.astype(jnp.int32)) - 1
-    lut = jnp.where(pres, cl, 0).astype(jnp.int32)
-    n_clusters = cl[-1] + 1 if span else jnp.int32(0)
-    return lut, n_clusters
+    cols_g int32 (w, CG, 128) with -1 padding.  Clusters are runs of
+    each chunk's sorted column union (gap > `gap` splits) — the device
+    twin of the host packer's per-chunk clustering (global offset
+    clustering smears for rectangular P/R and blows the window width).
+
+    Returns (ecl (w, CG, 128) cluster id per entry [garbage where
+    invalid], nc_g scalar = max clusters in any chunk of the group)."""
+    w, CG, L = cols_g.shape
+    valid = cols_g >= 0
+    key = jnp.where(valid, cols_g, _BIG)
+    flat = key.transpose(1, 0, 2).reshape(CG, w * L)
+    s = jnp.sort(flat, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((CG, 1), -_BIG, jnp.int32), s[:, :-1]], axis=1)
+    newcl = (s < _BIG) & (s - prev > gap)
+    rank = jnp.cumsum(newcl.astype(jnp.int32), axis=1) - 1
+    nc_g = jnp.max(rank[:, -1]) + 1
+    # cluster start columns per chunk: (CG, ncmax), +BIG padded
+    cg_idx = jnp.broadcast_to(
+        jnp.arange(CG, dtype=jnp.int32)[:, None], s.shape)
+    tgt = jnp.where(newcl, jnp.minimum(rank, ncmax - 1), ncmax)
+    starts = jnp.full((CG * (ncmax + 1),), _BIG, jnp.int32).at[
+        (cg_idx * (ncmax + 1) + tgt).reshape(-1)].min(
+            s.reshape(-1), mode="drop")
+    starts = starts.reshape(CG, ncmax + 1)[:, :ncmax]
+    # per-entry cluster id = (# starts <= col) - 1
+    q = key.transpose(1, 0, 2).reshape(CG, w * L)
+    ecl = jnp.sum((q[:, :, None] >= starts[:, None, :]),
+                  axis=2).astype(jnp.int32) - 1
+    ecl = ecl.reshape(CG, w, L).transpose(1, 0, 2)
+    return ecl, nc_g
+
+
+def _cluster_perchunk(M, gap=GAP):
+    """Host loop over chunk groups: per-entry per-chunk cluster ids
+    for the whole matrix.  Returns (ecl (w, n), n_clusters host int)."""
+    w, n = M.cols.shape
+    n_chunks = -(-n // CHUNK)
+    n_grp = -(-n_chunks // _CG)
+    n_pad = n_grp * _CG * CHUNK
+    cols_p = _pad_cols_grp(M.cols, n_pad=n_pad, n_grp=n_grp)
+    ncmax = 8 * MAX_G
+    parts = []
+    ncs = []
+    for g in range(n_grp):
+        ecl_g, nc_g = _cluster_group(cols_p[:, g], gap=gap, ncmax=ncmax)
+        parts.append(ecl_g)
+        ncs.append(nc_g)
+    ecl = _concat_ecl(parts, n=n)
+    n_clusters = int(jnp.max(jnp.stack(ncs)))
+    return ecl, n_clusters
+
+
+@partial(jax.jit, static_argnames=("n_pad", "n_grp"))
+def _pad_cols_grp(cols, *, n_pad, n_grp):
+    w = cols.shape[0]
+    cols = jnp.pad(cols, [(0, 0), (0, n_pad - cols.shape[1])],
+                   constant_values=-1)
+    return cols.reshape(w, n_grp, -1, CHUNK)    # (w, n_grp, CG, 128)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _concat_ecl(parts, *, n):
+    w = parts[0].shape[0]
+    return jnp.concatenate(
+        [p.reshape(w, -1) for p in parts], axis=1)[:, :n]
 
 
 @jax.jit
 def _stage_stats(M):
-    valid = M.mask
-    d = _offsets(M.cols, valid, M.n_rows, M.n_cols)
-    nnz = jnp.sum(valid)
-    dmin = jnp.min(jnp.where(valid, d, _BIG))
-    dmax = jnp.max(jnp.where(valid, d, -_BIG))
-    return nnz, dmin, dmax
+    return jnp.sum(M.mask)
 
 
-@partial(jax.jit, static_argnames=("span", "dmin"))
-def _stage_cluster(M, span, dmin):
-    valid = M.mask
-    d = _offsets(M.cols, valid, M.n_rows, M.n_cols)
-    lut, ncl = _cluster_lut(d, valid, span, dmin)
-    return lut, ncl
-
-
-@partial(jax.jit, static_argnames=("span", "dmin", "NC"))
-def _stage_slots(M, lut, span, dmin, NC):
-    """ecl + rank + per-(chunk, cluster) slot ranges; returns the
+@partial(jax.jit, static_argnames=("NC",))
+def _stage_slots(M, ecl_in, NC):
+    """rank + per-(chunk, cluster) slot ranges; returns the
     S_max scalar the caller syncs to pick G.  All (w, n) slot-major."""
     w, n = M.cols.shape
     valid = M.mask
-    d = _offsets(M.cols, valid, n, M.n_cols)
-    ecl = jnp.where(valid, jnp.take(lut, jnp.where(
-        valid, d - dmin, 0).astype(jnp.int32)), NC)
+    ecl = jnp.where(valid, ecl_in, NC)
 
     # rank within each (row, cluster) run — DEll slots are col-sorted,
     # so same-cluster entries are contiguous along the slot axis
@@ -188,21 +211,16 @@ def gstell_from_dell(M, real_dtype=None):
         return None
     x_rows = max(-(-n_cols // 128), 1)
 
-    nnz_d, dmin_d, dmax_d = _stage_stats(M)
-    nnz, dmin, dmax = int(nnz_d), int(dmin_d), int(dmax_d)
+    nnz = int(_stage_stats(M))
     if nnz == 0:
         return None
-    span = dmax - dmin + 1
-    if span > (1 << 27):
-        return None
 
-    lut, ncl = _stage_cluster(M, span=span, dmin=dmin)
-    n_clusters = int(ncl)
-    if n_clusters > 8 * MAX_G:
+    ecl_in, n_clusters = _cluster_perchunk(M)
+    if n_clusters > 8 * MAX_G or n_clusters == 0:
         return None
 
     ecl, rank, slot_start, S_max_d = _stage_slots(
-        M, lut, span=span, dmin=dmin, NC=n_clusters)
+        M, ecl_in, NC=n_clusters)
     S_max = int(S_max_d)
     G = -(-S_max // 8)
     if G == 0 or G > MAX_G:

@@ -49,14 +49,21 @@ SF_PT = -3
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["cols", "vals"], meta_fields=["n_cols"])
+         data_fields=["cols", "vals"], meta_fields=["n_cols", "disp"])
 @dataclasses.dataclass(frozen=True)
 class DEll:
-    """Slot-major padded ELL for device-side setup (pad col = -1)."""
+    """Slot-major padded ELL for device-side setup (pad col = -1).
+
+    disp: when not None, slot k is stencil arm k — cols[k, i] = i +
+    disp[k] wherever valid (padding holes interleave at boundaries).
+    Setup gathers along the structure then become shifted slices
+    (560 GB/s) instead of XLA gathers (0.11 Gelem/s measured on v5e);
+    see dell_gather_vec / dell_gather_rows."""
 
     cols: jax.Array          # int32 (w, n)
     vals: jax.Array          # real (w, n)
     n_cols: int
+    disp: tuple | None = None
 
     @property
     def n_rows(self) -> int:
@@ -73,6 +80,34 @@ class DEll:
     @property
     def mask(self) -> jax.Array:
         return self.cols >= 0
+
+
+def _shift_read(x: jax.Array, d: int, m: int | None = None,
+                start=None):
+    """x[start + j + d] for j in [0, m) as a slice (zero fill OOB).
+    start=None reads the whole vector (start=0, m=len)."""
+    n = x.shape[0]
+    if start is None:
+        if d >= 0:
+            return jnp.concatenate(
+                [x[d:], jnp.zeros((min(d, n),), x.dtype)])[:n]
+        return jnp.concatenate(
+            [jnp.zeros((min(-d, n),), x.dtype), x[:n + d] if n + d > 0
+             else x[:0]])[:n]
+    raise NotImplementedError
+
+
+def dell_gather_vec(A: DEll, x: jax.Array, fill=0) -> jax.Array:
+    """g[s, i] = x[A.cols[s, i]] (fill in padding slots).
+
+    Stencil operators (A.disp set) read shifted slices — no gather."""
+    if A.disp is not None:
+        g = jnp.stack([_shift_read(x, d) for d in A.disp], axis=0)
+    else:
+        safe = jnp.where(A.mask, A.cols, 0)
+        g = jnp.take(x, safe, axis=0)
+    fillv = jnp.asarray(fill, g.dtype)
+    return jnp.where(A.mask, g, fillv)
 
 
 # ---------------------------------------------------------------------------
@@ -135,8 +170,10 @@ def dell_stencil(shape, entries, dtype=jnp.float32) -> DEll:
         key=lambda e: e[0][0] + shape[0] * (e[0][1]
                                             + shape[1] * e[0][2])))
     cols, vals = _dell_stencil_jit(tuple(shape), ents, jnp.dtype(dtype))
+    nx, ny, _nz = shape
+    disp = tuple(int(dx + nx * (dy + ny * dz)) for (dx, dy, dz), _ in ents)
     return DEll(cols=cols, vals=vals,
-                n_cols=shape[0] * shape[1] * shape[2])
+                n_cols=shape[0] * shape[1] * shape[2], disp=disp)
 
 
 @partial(jax.jit, static_argnames=("shape", "ents", "dtype"))
@@ -155,15 +192,10 @@ def _dell_stencil_jit(shape, ents, dtype):
         disp = dx + nx * (dy + ny * dz)
         cols.append(jnp.where(ok, lin + disp, -1))
         vals.append(jnp.where(ok, jnp.asarray(v, dtype), 0))
-    cols = jnp.stack(cols, axis=0)                 # (K, n)
-    vals = jnp.stack(vals, axis=0)
-    # compact valid entries to the low slots so slot order is the CSR
-    # (ascending) column order: stable sort by (invalid, col)
-    key = jnp.where(cols >= 0, cols, jnp.int32(2**30))
-    order = jnp.argsort(key, axis=0)
-    cols = jnp.take_along_axis(cols, order, axis=0)
-    vals = jnp.take_along_axis(vals, order, axis=0)
-    return cols, vals
+    # slot k = stencil arm k (ents are disp-ascending, so valid cols
+    # ascend along the slot axis; boundary padding holes interleave —
+    # the DEll.disp shift fast paths rely on this identity)
+    return jnp.stack(cols, axis=0), jnp.stack(vals, axis=0)
 
 
 def dell_laplacian(nx, ny, nz=1, cx=1.0, cy=1.0, cz=1.0,
@@ -255,14 +287,36 @@ def pmis_hash32_np(ids: np.ndarray, seed: int) -> np.ndarray:
     return (h >> np.uint32(8)).astype(np.float32) / np.float32(1 << 24)
 
 
+def _rev_disp(disp: tuple) -> tuple | None:
+    """Reverse-arm index per arm (disp_k' == -disp_k), or None when the
+    stencil pattern is not symmetric."""
+    try:
+        return tuple(disp.index(-d) for d in disp)
+    except ValueError:
+        return None
+
+
+def _rev_strong(A: DEll, strong, rev):
+    """rev_strong[k, j] = strong flag of the edge (j + disp_k) -> j
+    (pattern-symmetric stencil): a shifted read of arm rev[k]."""
+    return jnp.stack(
+        [_shift_read(strong[rev[k]], d) for k, d in enumerate(A.disp)],
+        axis=0) & A.mask
+
+
 @partial(jax.jit, static_argnames=("seed",))
-def _pmis_init(cols, strong, seed, global_ids):
-    n = cols.shape[1]
-    scols = jnp.where(strong, cols, n)          # n = dropped in scatters
-    # measure = |S^T column| + hash
-    ones = strong.astype(jnp.float32)
-    st_deg = jnp.zeros((n,), jnp.float32).at[scols.reshape(-1)].add(
-        ones.reshape(-1), mode="drop")
+def _pmis_init(A: DEll, strong, seed, global_ids):
+    n = A.cols.shape[1]
+    rev = _rev_disp(A.disp) if A.disp is not None else None
+    if rev is not None:
+        # |S^T column| via shifted reads — no scatter
+        st_deg = jnp.sum(_rev_strong(A, strong, rev)
+                         .astype(jnp.float32), axis=0)
+    else:
+        scols = jnp.where(strong, A.cols, n)    # n = dropped in scatter
+        ones = strong.astype(jnp.float32)
+        st_deg = jnp.zeros((n,), jnp.float32).at[scols.reshape(-1)].add(
+            ones.reshape(-1), mode="drop")
     measure = st_deg + pmis_hash32(global_ids, seed)
     isolated = ~jnp.any(strong, axis=0)
     cf0 = jnp.where(isolated, jnp.int32(SF_PT), jnp.int32(0))
@@ -271,28 +325,38 @@ def _pmis_init(cols, strong, seed, global_ids):
 
 
 @jax.jit
-def _pmis_round(cols, strong, gid, cf, m):
+def _pmis_round(A: DEll, strong, gid, cf, m):
     """One PMIS selection round.  Split out of the old lax.while_loop:
     one round per XLA program keeps each execution far below the TPU
     worker's 60 s single-program watchdog at 256^3+ (the whole-loop
-    program was ~70 s there and killed the worker)."""
-    n = cols.shape[1]
-    scols = jnp.where(strong, cols, n)
-    gcols = jnp.where(strong, cols, 0)
+    program was ~70 s there and killed the worker).
+
+    Symmetric stencil operators (A.disp with -d per d) run gather- and
+    scatter-free: neighbor reads are shifted slices, and the scatter
+    side of the independent-set test becomes a shifted read of the
+    reverse arm (XLA gathers/scatters measure 0.1 Gelem/s on v5e vs
+    560 GB/s for slices)."""
+    n = A.cols.shape[1]
     un = cf == 0
     cand = un & (m > 1.0)
-    cand_j = jnp.take(cand, gcols) & strong
-    m_j = jnp.take(m, gcols)
-    gid_j = jnp.take(gid, gcols)
-    beats_me = (m_j > m[None, :]) | ((m_j == m[None, :])
-                                     & (gid_j > gid[None, :]))
-    out_row = jnp.any(cand_j & cand[None, :] & beats_me, axis=0)
-    # scatter side: i beats j along edge (i, j)
-    i_beats = (cand[None, :] & cand_j
-               & ((m[None, :] > m_j) | ((m[None, :] == m_j)
-                                        & (gid[None, :] > gid_j))))
-    out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
-        i_beats.reshape(-1), mode="drop")
+    cand_nb = dell_gather_vec(A, cand, fill=False)
+    m_nb = dell_gather_vec(A, m)
+    gid_nb = dell_gather_vec(A, gid, fill=-1)
+    beats_me = (m_nb > m[None, :]) | ((m_nb == m[None, :])
+                                      & (gid_nb > gid[None, :]))
+    hit = cand_nb & beats_me
+    out_row = jnp.any(strong & hit & cand[None, :], axis=0)
+    rev = _rev_disp(A.disp) if A.disp is not None else None
+    if rev is not None:
+        out_sc = jnp.any(_rev_strong(A, strong, rev) & hit, axis=0)
+    else:
+        # scatter side: i beats j along edge (i, j)
+        scols = jnp.where(strong, A.cols, n)
+        i_beats = (cand[None, :] & (cand_nb & strong)
+                   & ((m[None, :] > m_nb) | ((m[None, :] == m_nb)
+                                             & (gid[None, :] > gid_nb))))
+        out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
+            i_beats.reshape(-1), mode="drop")
     new_c = cand & ~(out_row | out_sc)
     cf = jnp.where(new_c, jnp.int32(C_PT), cf)
 
@@ -300,7 +364,8 @@ def _pmis_round(cols, strong, gid, cf, m):
     cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
 
     is_c = cf == C_PT
-    has_c_dep = jnp.any(strong & jnp.take(is_c, gcols), axis=0)
+    has_c_dep = jnp.any(strong & dell_gather_vec(A, is_c, fill=False),
+                        axis=0)
     make_f = un & ~new_c & ~low & has_c_dep
     cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
 
@@ -308,23 +373,27 @@ def _pmis_round(cols, strong, gid, cf, m):
     return cf, m, jnp.any(cf == 0)
 
 
-def device_pmis(cols: jax.Array, strong: jax.Array, seed: int = 2747,
+def device_pmis(A, strong: jax.Array, seed: int = 2747,
                 global_ids: jax.Array | None = None) -> jax.Array:
     """CF marker (C_PT/F_PT/SF_PT) via PMIS over slot-major (w, n)
     cols/strong.  Mirrors setup/coarsen.pmis (ref: src/parcsr_ls/
     par_coarsen.c:2101) with the 32-bit hash; ties additionally broken
     by global id so the selection loop always terminates.
 
-    The selection loop runs on the HOST with one jitted program per
-    round (a bool sync per round): the fused while_loop variant was one
-    ~70 s program at 256^3 and tripped the 60 s worker watchdog."""
-    n = cols.shape[1]
+    A: a DEll (stencil operators take the shift fast path) or a bare
+    (w, n) cols array.  The selection loop runs on the HOST with one
+    jitted program per round (a bool sync per round): the fused
+    while_loop variant was one ~70 s program at 256^3 and tripped the
+    60 s worker watchdog."""
+    if not isinstance(A, DEll):
+        A = DEll(cols=A, vals=A, n_cols=int(A.shape[1]))
+    n = A.cols.shape[1]
     if global_ids is None:
         global_ids = jnp.arange(n, dtype=jnp.int32)
-    cf, m = _pmis_init(cols, strong, seed, global_ids)
+    cf, m = _pmis_init(A, strong, seed, global_ids)
     unfinished = bool(jnp.any(cf == 0))
     while unfinished:
-        cf, m, more = _pmis_round(cols, strong, global_ids, cf, m)
+        cf, m, more = _pmis_round(A, strong, global_ids, cf, m)
         unfinished = bool(more)
     return cf
 
@@ -357,8 +426,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     diag, is_diag = _row_diag(A)
     valid = A.mask
     offd = valid & ~is_diag
-    gcols = jnp.where(valid, A.cols, 0)
-    col_is_c = jnp.take(is_c, gcols) & valid
+    col_is_c = dell_gather_vec(A, is_c, fill=False)
     strong_c = strong & col_is_c
     pos = A.vals > 0
     neg = A.vals < 0
@@ -376,7 +444,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     sel = strong_c & f_row[None, :]
     pv = jnp.where(A.vals < 0, -alfa[None, :] * A.vals,
                    -beta[None, :] * A.vals)
-    pc = jnp.where(sel, jnp.take(cmap, gcols), -1)
+    pc = jnp.where(sel, dell_gather_vec(A, cmap, fill=-1), -1)
     pv = jnp.where(sel, pv, 0)
 
     # C rows interpolate identity (slot 0)
@@ -413,9 +481,12 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     chunks is one program whose runtime scales with n and trips the
     60 s worker watchdog at large sizes."""
     w, n = A.cols.shape
-    prep = _extpi_prepare(A, strong, cf, chunk=chunk, n=n)
+    pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128) \
+        if A.disp is not None else 0
+    prep = _extpi_prepare(A, strong, cf, chunk=chunk, n=n, pad=pad)
     (is_c, is_f, cmap, diag, strong_c_all, sign_diag,
-     colsP, valsP, strgP, cfP, diagP) = prep
+     colsP, valsP, strgP, cfP, diagP,
+     A_cols_g, A_vals_g, cf_g, is_c_g, is_f_g, sca_g, sd_g) = prep
     n_pad = -(-n // chunk) * chunk
     n_ch = n_pad // chunk
     gidP = np.arange(n_pad, dtype=np.int32).reshape(n_ch, chunk)
@@ -425,23 +496,22 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     for i in range(n_ch):
         pc_i, pv_i = _extpi_chunk(
             colsP[i], valsP[i], strgP[i], cfP[i], diagP[i],
-            jnp.asarray(gidP[i]), A.cols, A.vals, cf, is_c, is_f,
-            strong_c_all, sign_diag, n=n,
+            jnp.asarray(gidP[i]), jnp.int32(i * chunk),
+            A_cols_g, A_vals_g, cf_g, is_c_g, is_f_g,
+            sca_g, sd_g, n=n, disp=A.disp, pad=pad,
             trunc_factor=trunc_factor, max_elmts=max_elmts)
         pcs.append(pc_i)
         pvs.append(pv_i)
     return _extpi_finish(pcs, pvs, cmap, n=n, n_coarse=n_coarse)
 
 
-@partial(jax.jit, static_argnames=("chunk", "n"))
-def _extpi_prepare(A: DEll, strong, cf, chunk: int, n: int):
+@partial(jax.jit, static_argnames=("chunk", "n", "pad"))
+def _extpi_prepare(A: DEll, strong, cf, chunk: int, n: int, pad: int):
     is_c = cf == C_PT
     is_f = cf == F_PT
     cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
     diag, _ = _row_diag(A)
-    valid_all = A.mask
-    gcols_all = jnp.where(valid_all, A.cols, 0)
-    strong_c_all = strong & jnp.take(is_c, gcols_all)
+    strong_c_all = strong & dell_gather_vec(A, is_c, fill=False)
     sign_diag = jnp.sign(diag)
     n_pad = -(-n // chunk) * chunk
     n_ch = n_pad // chunk
@@ -454,31 +524,67 @@ def _extpi_prepare(A: DEll, strong, cf, chunk: int, n: int):
         a = jnp.pad(a, [(0, n_pad - n)], constant_values=pv)
         return a.reshape(n_ch, chunk)
 
+    def pad_g(a, pv):
+        """Globals for the in-chunk neighbor reads.  Stencil path
+        (pad > 0): pad by `pad` on the left and `pad + chunk-slack` on
+        the right so every dynamic_slice(c0 + pad + d) is in bounds."""
+        if pad == 0:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(pad, pad + n_pad - n)]
+        return jnp.pad(a, widths, constant_values=pv)
+
     return (is_c, is_f, cmap, diag, strong_c_all, sign_diag,
             pad_t(A.cols, -1), pad_t(A.vals, 0), pad_t(strong, False),
-            pad_t(cf, SF_PT), pad_t(diag, 1.0))
+            pad_t(cf, SF_PT), pad_t(diag, 1.0),
+            pad_g(A.cols, -1), pad_g(A.vals, 0), pad_g(cf, SF_PT),
+            pad_g(is_c, False), pad_g(is_f, False),
+            pad_g(strong_c_all, False), pad_g(sign_diag, 0))
 
 
-@partial(jax.jit, static_argnames=("n", "trunc_factor", "max_elmts"))
-def _extpi_chunk(cols, vals, strg, cfch, diagch, gid,
+@partial(jax.jit, static_argnames=("n", "disp", "pad",
+                                   "trunc_factor", "max_elmts"))
+def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
                  A_cols, A_vals, cf, is_c, is_f, strong_c_all,
-                 sign_diag, *, n, trunc_factor, max_elmts):
+                 sign_diag, *, n, disp, pad, trunc_factor, max_elmts):
     w = cols.shape[0]
     wc = w * (1 + w)
     real = vals.dtype
 
-    class _A:                                         # gather views
-        cols = A_cols
-        vals = A_vals
-
-    A = _A
     if True:
         m = cols.shape[1]
         valid = cols >= 0
         gcols = jnp.where(valid, cols, 0)
-        col_is_c = jnp.take(is_c, gcols) & valid
-        col_is_f = jnp.take(is_f, gcols) & valid
-        col_is_sf = (jnp.take(cf, gcols) == SF_PT) & valid
+
+        if disp is not None:
+            # stencil fast path: x[cols[s, c0:c0+m]] = slice at
+            # c0 + pad + disp[s] of the pre-padded global — no gather
+            def gvec(x, fill):
+                g = jnp.stack(
+                    [jax.lax.dynamic_slice(x, (c0 + pad + d,), (m,))
+                     for d in disp], axis=0)
+                return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
+
+            def grows(X, fill):                       # (wX, w, m)
+                g = jnp.stack(
+                    [jax.lax.dynamic_slice(
+                        X, (jnp.int32(0), c0 + pad + d),
+                        (X.shape[0], m))
+                     for d in disp], axis=1)
+                return jnp.where(valid[None, :, :], g,
+                                 jnp.asarray(fill, g.dtype))
+        else:
+            def gvec(x, fill):
+                g = jnp.take(x, gcols, axis=0)
+                return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
+
+            def grows(X, fill):
+                g = jnp.take(X, gcols, axis=1)
+                return jnp.where(valid[None, :, :], g,
+                                 jnp.asarray(fill, g.dtype))
+
+        col_is_c = gvec(is_c, False)
+        col_is_f = gvec(is_f, False)
+        col_is_sf = (gvec(cf, SF_PT) == SF_PT) & valid
         sc = strg & col_is_c
         sf = strg & col_is_f
         f_row = cfch == F_PT
@@ -487,20 +593,39 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid,
 
         # ---- Ĉ: sorted candidate list (duplicates fine) ------------
         cand1 = jnp.where(sc, cols, _BIG)                 # (w, m)
-        nb_cols = jnp.take(A.cols, gcols, axis=1)         # (w, w, m)
+        nb_cols = grows(A_cols, -1)                       # (w, w, m)
         nb_valid = nb_cols >= 0
-        nb_sc = jnp.take(strong_c_all, gcols, axis=1) & nb_valid
+        nb_sc = grows(strong_c_all, False) & nb_valid
         cand2 = jnp.where(sf[None, :, :] & nb_sc, nb_cols, _BIG)
         chat = jnp.sort(jnp.concatenate(
             [cand1, cand2.reshape(w * w, m)], axis=0), axis=0)
 
         def member(queries):                              # (q, m)
-            pos = jax.vmap(
-                lambda ch, q: jnp.searchsorted(ch, q),
-                in_axes=(1, 1), out_axes=1)(chat, queries)
-            pos = jnp.minimum(pos, wc - 1)
-            return (jnp.take_along_axis(chat, pos, axis=0) == queries) \
-                & (queries < _BIG)
+            """Membership of each query in the sorted Ĉ list via a
+            merge sort + route-back sort (searchsorted's binary search
+            is log(wc) rounds of 0.1 Gelem/s gathers; comparator sorts
+            run 30-150x faster)."""
+            q = queries.shape[0]
+            keys = jnp.concatenate([chat, queries], axis=0)
+            tag = jnp.concatenate(
+                [jnp.zeros((wc, m), jnp.int32),
+                 jnp.ones((q, m), jnp.int32)], axis=0)
+            pos = jnp.concatenate(
+                [jnp.full((wc, m), _BIG, jnp.int32),
+                 jnp.broadcast_to(
+                     jnp.arange(q, dtype=jnp.int32)[:, None], (q, m))],
+                axis=0)
+            k2, t2, p2 = jax.lax.sort((keys, tag, pos),
+                                      dimension=0, num_keys=2)
+            src_key = jnp.where(t2 == 0, k2, -_BIG)
+            last_src = jax.lax.associative_scan(jnp.maximum, src_key,
+                                                axis=0)
+            hit = (t2 == 1) & (last_src == k2) & (k2 < _BIG)
+            # route back to query order: sort by query slot id
+            p3, h3 = jax.lax.sort(
+                (jnp.where(t2 == 1, p2, _BIG),
+                 hit.astype(jnp.int32)), dimension=0, num_keys=1)
+            return h3[:q] > 0
 
         # ---- direct: A entries with col in Ĉ -----------------------
         q_direct = jnp.where(offd, cols, _BIG)
@@ -516,8 +641,8 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid,
         # expand row k of A for each strong-F slot k: (w_l, w_k, m)
         t_l = nb_cols
         t_valid = nb_valid & sf[None, :, :]
-        t_a = jnp.take(A.vals, gcols, axis=1)
-        k_diag_sign = jnp.take(sign_diag, gcols)          # (w, m)
+        t_a = grows(A_vals, 0)
+        k_diag_sign = gvec(sign_diag, 0)                  # (w, m)
         not_diag = t_l != gcols[None, :, :]
         sign_ok = (k_diag_sign[None, :, :] * t_a) < 0
         memb = member(jnp.where(t_valid, t_l, _BIG).reshape(
@@ -553,7 +678,12 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid,
         pv = pv / dsafe[None, :]
 
         # C identity rows; SF rows stay empty
-        row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) & (gid < n)
+        if disp is not None:
+            row_is_c = jax.lax.dynamic_slice(
+                is_c, (c0 + pad,), (m,)) & (gid < n)
+        else:
+            row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) \
+                & (gid < n)
         slot0 = (jnp.arange(wc, dtype=jnp.int32) == 0)[:, None]
         pc = jnp.where(row_is_c[None, :],
                        jnp.where(slot0, gid[None, :], -1), pc)
@@ -605,7 +735,7 @@ def iter_device_hierarchy(A: DEll, cfg):
             break
         strong = device_strength(Al, cfg.strong_threshold,
                                  cfg.max_row_sum)
-        cf = device_pmis(Al.cols, strong, seed=cfg.seed)
+        cf = device_pmis(Al, strong, seed=cfg.seed)
         n_coarse = int(jnp.sum(cf == C_PT))
         if n_coarse == 0 or n_coarse == n:
             break
@@ -648,6 +778,17 @@ def _rap_chunk(wa: int, wp: int, budget: int = 1 << 27) -> int:
 _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
+def _carry_last(flag, value, axis=0):
+    """Per position: the most recent `value` at or before it whose
+    `flag` is set (associative "last set value" scan)."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, out = jax.lax.associative_scan(op, (flag, value), axis=axis)
+    return out
+
+
 def _slot_compact(cand_cols, cand_vals, out_width):
     """Per-row dedup over the slot axis: sort candidate (col, val)
     slots by col, sum runs of equal cols, compact to `out_width` slots
@@ -655,29 +796,41 @@ def _slot_compact(cand_cols, cand_vals, out_width):
 
     cand_cols int32 (k, m) with -1 padding; cand_vals (k, m).
     Returns (cols (out_width, m), vals (out_width, m)).
-    """
+
+    Sort/scan only — no scatters and no take_along_axis: XLA gathers
+    and scatters run at ~0.1 Gelem/s on TPU while the multi-operand
+    comparator sort runs at 3-17 Gelem/s, so run totals come from a
+    cumulative sum and the compaction is a second small sort keyed by
+    output slot."""
     k, m = cand_cols.shape
     key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
-    order = jnp.argsort(key, axis=0)
-    sc = jnp.take_along_axis(cand_cols, order, axis=0)
-    sv = jnp.take_along_axis(cand_vals, order, axis=0)
-    valid = sc >= 0
+    sc, sv = jax.lax.sort((key, cand_vals), dimension=0, num_keys=1)
+    valid = sc < _BIG
     new = valid & jnp.concatenate(
         [jnp.ones((1, m), bool), sc[1:] != sc[:-1]], axis=0)
+    last = valid & jnp.concatenate(
+        [sc[:-1] != sc[1:], jnp.ones((1, m), bool)], axis=0)
     slot = jnp.cumsum(new.astype(jnp.int32), axis=0) - 1
-    # entries beyond out_width land in the per-row sentinel slot and
-    # are dropped — callers size out_width via *_width() so this only
-    # clamps, never truncates in practice
-    slot = jnp.where(valid, jnp.minimum(slot, out_width), out_width)
-    lanes = jnp.broadcast_to(jnp.arange(m)[None, :], (k, m))
-    flat = slot * m + lanes
-    out_v = jnp.zeros(((out_width + 1) * m,), cand_vals.dtype).at[
-        flat.reshape(-1)].add(sv.reshape(-1), mode="drop")
-    out_c = jnp.full(((out_width + 1) * m,), -1, jnp.int32).at[
-        flat.reshape(-1)].max(sc.reshape(-1), mode="drop")
-    out_v = out_v.reshape(out_width + 1, m)[:out_width]
-    out_c = out_c.reshape(out_width + 1, m)[:out_width]
-    return jnp.where(out_c >= 0, out_c, -1), jnp.where(out_c >= 0, out_v, 0)
+    # run total = cumsum at run end minus cumsum just before run start
+    cum = jnp.cumsum(sv, axis=0)
+    prev = jnp.concatenate([jnp.zeros((1, m), sv.dtype), cum[:-1]],
+                           axis=0)
+    start_cum = _carry_last(new, jnp.where(new, prev, 0))
+    total = cum - start_cum
+    # route each run's (col, total) — live at the run END — to its
+    # output slot with a second sort (slot ids ascend, so the first
+    # out_width rows after the sort are the compacted result)
+    route = jnp.where(last & (slot < out_width), slot, _BIG)
+    _, oc, ov = jax.lax.sort(
+        (route, jnp.where(route < _BIG, sc, -1),
+         jnp.where(route < _BIG, total, 0)),
+        dimension=0, num_keys=1)
+    if k < out_width:
+        oc = jnp.concatenate(
+            [oc, jnp.full((out_width - k, m), -1, oc.dtype)], axis=0)
+        ov = jnp.concatenate(
+            [ov, jnp.zeros((out_width - k, m), ov.dtype)], axis=0)
+    return oc[:out_width], ov[:out_width]
 
 
 def _slot_distinct_count(cand_cols):
@@ -711,7 +864,16 @@ def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
     n = A.n_rows
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     n_ch = ac_all.shape[0]
-    parts = [_spgemm_width_chunk(ac_all[i], B.cols) for i in range(n_ch)]
+    if A.disp is not None and n == B.n_rows:
+        pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128)
+        n_pad = n_ch * chunk
+        Bc_g, _ = _pad_b_jit(B.cols, B.cols, pad=pad, extra=n_pad - n)
+        parts = [_spgemm_width_chunk_stencil(
+            ac_all[i], jnp.int32(i * chunk), Bc_g,
+            disp=A.disp, pad=pad) for i in range(n_ch)]
+    else:
+        parts = [_spgemm_width_chunk(ac_all[i], B.cols)
+                 for i in range(n_ch)]
     return int(jnp.max(jnp.stack(parts)))
 
 
@@ -725,22 +887,51 @@ def _spgemm_width_chunk(ac, B_cols):
     return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
 
 
+@partial(jax.jit, static_argnames=("disp", "pad"))
+def _spgemm_width_chunk_stencil(ac, c0, B_cols, *, disp, pad):
+    wb = B_cols.shape[0]
+    wa, chunk = ac.shape
+    bc = jnp.stack(
+        [jax.lax.dynamic_slice(B_cols, (jnp.int32(0), c0 + pad + d),
+                               (wb, chunk))
+         for d in disp], axis=1)
+    bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
+    return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
+
+
 def device_spgemm(A: DEll, B: DEll, out_width: int,
                   chunk: int = 65536) -> DEll:
     """C = A @ B (ref: src/seq_mv/csr_spgemm_device.c:15 — the two-pass
     hash SpGEMM becomes gather + per-row sort + segment-sum, chunked to
     bound the (wa*wb, chunk) candidate buffer).  The chunk loop runs on
     the host (pipelined programs, no intermediate syncs) to stay under
-    the worker's 60 s single-program watchdog."""
+    the worker's 60 s single-program watchdog.  Stencil A (disp set):
+    the B-row expansion reads shifted slices of B — no gathers."""
     n = A.n_rows
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     av_all = _stack_chunks_jit(A.vals, n=n, chunk=chunk, pad_value=0)
     n_ch = ac_all.shape[0]
-    outs = [_spgemm_chunk(ac_all[i], av_all[i], B.cols, B.vals,
-                          out_width=out_width) for i in range(n_ch)]
+    if A.disp is not None and n == B.n_rows:
+        pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128)
+        n_pad = n_ch * chunk
+        Bc_g, Bv_g = _pad_b_jit(B.cols, B.vals, pad=pad, extra=n_pad - n)
+        outs = [_spgemm_chunk_stencil(
+            ac_all[i], av_all[i], jnp.int32(i * chunk), Bc_g, Bv_g,
+            disp=A.disp, pad=pad, out_width=out_width)
+            for i in range(n_ch)]
+    else:
+        outs = [_spgemm_chunk(ac_all[i], av_all[i], B.cols, B.vals,
+                              out_width=out_width) for i in range(n_ch)]
     cols, vals = _spgemm_finish([o[0] for o in outs],
                                 [o[1] for o in outs], n=n)
     return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
+
+
+@partial(jax.jit, static_argnames=("pad", "extra"))
+def _pad_b_jit(B_cols, B_vals, *, pad, extra):
+    widths = [(0, 0), (pad, pad + extra)]
+    return (jnp.pad(B_cols, widths, constant_values=-1),
+            jnp.pad(B_vals, widths, constant_values=0))
 
 
 @partial(jax.jit, static_argnames=("out_width",))
@@ -752,6 +943,28 @@ def _spgemm_chunk(ac, av, B_cols, B_vals, *, out_width):
     bv = jnp.take(B_vals, safe, axis=1)
     bc = jnp.where(ac[None, :, :] >= 0, bc, -1)
     bv = bv * av[None, :, :]
+    return _slot_compact(bc.reshape(wb * wa, chunk),
+                         bv.reshape(wb * wa, chunk), out_width)
+
+
+@partial(jax.jit, static_argnames=("disp", "pad", "out_width"))
+def _spgemm_chunk_stencil(ac, av, c0, B_cols, B_vals, *, disp, pad,
+                          out_width):
+    """Stencil-A variant: row k of B for A-slot s of row i is
+    B[:, i + disp[s]] — a dynamic slice of the pre-padded B arrays."""
+    wb = B_cols.shape[0]
+    wa, chunk = ac.shape
+    bc = jnp.stack(
+        [jax.lax.dynamic_slice(B_cols, (jnp.int32(0), c0 + pad + d),
+                               (wb, chunk))
+         for d in disp], axis=1)                  # (wb, wa, chunk)
+    bv = jnp.stack(
+        [jax.lax.dynamic_slice(B_vals, (jnp.int32(0), c0 + pad + d),
+                               (wb, chunk))
+         for d in disp], axis=1)
+    ok = ac[None, :, :] >= 0
+    bc = jnp.where(ok, bc, -1)
+    bv = jnp.where(ok, bv * av[None, :, :], 0)
     return _slot_compact(bc.reshape(wb * wa, chunk),
                          bv.reshape(wb * wa, chunk), out_width)
 
@@ -791,10 +1004,8 @@ def device_transpose(M: DEll, out_width: int) -> DEll:
     rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), w)
     valid = colsR >= 0
     key = jnp.where(valid, colsR, _BIG)
-    order = jnp.argsort(key, stable=True)
-    scol = key[order]
-    srow = rows[order]
-    sval = valsR[order]
+    scol, srow, sval = jax.lax.sort(
+        (key, rows, valsR), dimension=0, num_keys=1, is_stable=True)
     svalid = scol < _BIG
     # slot within the output row = position since that col's first entry
     newrow = svalid & jnp.concatenate(
@@ -846,10 +1057,11 @@ def device_truncate(P: DEll, trunc_factor: float, max_elmts: int) -> DEll:
     scale = jnp.where(kept_sum != 0, row_sum / kept_sum, 1.0)
     newv = jnp.where(keep, vals * scale[None, :], 0)
     newc = jnp.where(keep, P.cols, _BIG)
-    # compact kept entries to the low slots (ascending col preserved)
-    order = jnp.argsort(newc, axis=0)
-    newc = jnp.take_along_axis(newc, order, axis=0)[:kw]
-    newv = jnp.take_along_axis(newv, order, axis=0)[:kw]
+    # compact kept entries to the low slots (ascending col preserved);
+    # multi-operand sort — no scalar-gather take_along_axis
+    newc, newv = jax.lax.sort((newc, newv), dimension=0, num_keys=1)
+    newc = newc[:kw]
+    newv = newv[:kw]
     return DEll(cols=jnp.where(newc < _BIG, newc, -1).astype(jnp.int32),
                 vals=jnp.where(newc < _BIG, newv, 0), n_cols=P.n_cols)
 

@@ -82,8 +82,8 @@ def main():
     total_ms = 0.0
     for l, lvl in enumerate(h.levels):
         x = jnp.ones((lvl.A.shape[1],), jnp.float32)
-        dt, _ = timeit(jax.jit(lambda v, op=lvl.A: matvec(op, v)), x,
-                       reps=10)
+        mv = jax.jit(matvec)
+        dt, _ = timeit(lambda v, op=lvl.A: mv(op, v), x, reps=10)
         nnz = amg.level_nnz[l]
         gnnz = nnz / dt / 1e9
         print(f"L{l:2d} n={lvl.A.shape[0]:9d} nnz={nnz:11d} "
@@ -92,11 +92,9 @@ def main():
         total_ms += 3 * dt * 1e3
         if lvl.P is not None:
             xc = jnp.ones((lvl.P.shape[1],), jnp.float32)
-            dtp, _ = timeit(jax.jit(lambda v, op=lvl.P: matvec(op, v)),
-                            xc, reps=10)
+            dtp, _ = timeit(lambda v, op=lvl.P: mv(op, v), xc, reps=10)
             xf = jnp.ones((lvl.R.shape[1],), jnp.float32)
-            dtr, _ = timeit(jax.jit(lambda v, op=lvl.R: matvec(op, v)),
-                            xf, reps=10)
+            dtr, _ = timeit(lambda v, op=lvl.R: mv(op, v), xf, reps=10)
             print(f"    P-mv {dtp*1e3:8.2f}ms {describe(lvl.P)}")
             print(f"    R-mv {dtr*1e3:8.2f}ms {describe(lvl.R)}",
                   flush=True)
@@ -105,7 +103,8 @@ def main():
 
     n0 = h.levels[0].A.shape[0]
     f = jnp.ones((n0,), jnp.float32)
-    dt, _ = timeit(jax.jit(lambda v: amg_cycle(h, v)), f, reps=5)
+    cyc = jax.jit(amg_cycle)
+    dt, _ = timeit(lambda v: cyc(h, v), f, reps=5)
     print(f"amg_cycle: {dt*1e3:.2f} ms", flush=True)
 
     b = np.ones(n0, np.float32)

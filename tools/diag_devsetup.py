@@ -37,7 +37,7 @@ stamp(f"stage 2: strength done nnz={int(jnp.sum(strong))}")
 if LIMIT <= 2:
     sys.exit(0)
 
-cf = dev.device_pmis(A.cols, strong, seed=2747)
+cf = dev.device_pmis(A, strong, seed=2747)
 stamp(f"stage 3: pmis done ncoarse={int(jnp.sum(cf == dev.C_PT))}")
 if LIMIT <= 3:
     sys.exit(0)

@@ -33,7 +33,7 @@ stamp("stencil")
 strong = dev.device_strength(A, 0.25, 0.9)
 jax.block_until_ready(strong)
 stamp("strength")
-cf = dev.device_pmis(A.cols, strong, seed=2747)
+cf = dev.device_pmis(A, strong, seed=2747)
 n_coarse = int(jnp.sum(cf == dev.C_PT))
 stamp(f"pmis nc={n_coarse}")
 chunk = dev._interp_chunk(A.width)

@@ -6,41 +6,28 @@ Mirrors the reference's headline GPU benchmark (TEST_bench out.14:
 TPU chip in f32 (the --enable-single analog; the reference numbers are
 f64 on V100).
 
-The whole pipeline is device-resident: the operator is generated on
-the TPU (gstell_from_stencil / dell_stencil), the AMG hierarchy is
-built by XLA programs (setup/device_amg.py — the hypre device-setup
-analog), and levels pack on device (ops/gstell_device.py).  The host
-never holds a matrix.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+SUPERVISED: this file is both the supervisor (default) and the worker
+(--child PATH).  The TPU relay in this environment can wedge — a
+client can block forever on its first sync, and a single XLA program
+running >60 s kills the remote worker — so the supervisor runs each
+setup path in a child process with progress heartbeats and falls over
+(device setup -> host setup) on stall, crash, or budget overrun.  One
+JSON line is printed no matter what.
 
 Honesty rules (round-1 verdict): the SAME problem as the baseline
-(256^3, ext+i interp, l1-Jacobi), setup timed end-to-end every run
+(256^3, ext+i interp, l1-Jacobi), setup timed end-to-end in-run
 (generation + hierarchy + packing; no result caching), and vs_baseline
 emitted only when the grid actually matches the baseline's (null
 otherwise).  vs_baseline > 1 means faster than the V100 solve.
-
-The XLA compilation cache (.jax_cache) is enabled: compiled kernels
-are the analog of the reference's precompiled CUDA kernels, so a
-warm-cache setup time is the honest comparison point.  The cold
-(first-ever) compile adds minutes and is reported separately when it
-happens via setup_s.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
-
-import numpy as np
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
-                      "0.3")
 
 GRID = int(os.environ.get("HYPRE_TPU_BENCH_N", "256"))
 # TEST_bench/benchmark_ij.perf.saved.lassen:40-42 (out.14)
@@ -52,9 +39,27 @@ LAPLACE_7PT = [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
                ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
                ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)]
 
+# supervisor knobs
+STALL_S = int(os.environ.get("HYPRE_TPU_BENCH_STALL_S", "600"))
+PATH_BUDGET_S = int(os.environ.get("HYPRE_TPU_BENCH_BUDGET_S", "2700"))
+PATHS = os.environ.get("HYPRE_TPU_BENCH_PATHS", "device,host").split(",")
 
-def main():
+
+# ---------------------------------------------------------------------------
+# worker (child process): one setup path end-to-end, JSON on stdout
+# ---------------------------------------------------------------------------
+
+def run_child(path: str) -> int:
+    import numpy as np
+
+    from hypre_tpu.core.heartbeat import beat
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # smoke-test mode: sitecustomize force-registers the axon TPU
+        # backend regardless of the env var; pin CPU explicitly
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
@@ -63,14 +68,23 @@ def main():
     verbose = int(os.environ.get("HYPRE_TPU_BENCH_VERBOSE", "1"))
 
     # out.14 config: ext+i interpolation (6), l1-Jacobi (18), PMIS.
-    # Setup runs entirely on the TPU; the timed region includes
-    # operator generation, hierarchy build, and solve-format packing.
     cfg = AmgConfig(interp_type=6, relax_type=18, print_level=verbose)
+    beat(f"child start path={path}")
     t0 = time.time()
-    amg = BoomerAMG(cfg).setup_device(
-        stencil=((n, n, n), LAPLACE_7PT))
+    if path == "device":
+        # setup runs entirely on the TPU: operator generation,
+        # hierarchy build, and solve-format packing
+        amg = BoomerAMG(cfg).setup_device(
+            stencil=((n, n, n), LAPLACE_7PT))
+    else:
+        from hypre_tpu.gen.laplace import laplacian
+
+        A = laplacian(n, n, n)
+        beat("host operator generated")
+        amg = BoomerAMG(cfg).setup(A)
     t_setup = time.time() - t0
-    print(f"[bench] device setup done ({t_setup:.1f}s)",
+    beat(f"setup done {t_setup:.1f}s")
+    print(f"[bench] {path} setup done ({t_setup:.1f}s)",
           file=sys.stderr, flush=True)
 
     op = amg.hierarchy.levels[0].A
@@ -85,6 +99,7 @@ def main():
     tol = 1e-6
     res = pcg(A=op, b=b, M=amg.hierarchy, tol=tol, max_iter=100)
     _ = np.asarray(res.x[:1])  # genuine host fetch (not just enqueue)
+    beat(f"warmup solve done {int(res.iters)} iters")
     print(f"[bench] warmup solve done ({int(res.iters)} iters)",
           file=sys.stderr, flush=True)
     # per-process salt: identical rhs values across runs would hit the
@@ -95,12 +110,13 @@ def main():
     checks = []
     for t in range(3):
         bt = b * (salt + np.float32((t + 1) * 0.0137))
-        t0 = time.time()
+        t1 = time.time()
         res = pcg(A=op, b=bt, M=amg.hierarchy, tol=tol, max_iter=100)
         # force a genuine host fetch: on this relay block_until_ready
         # can be satisfied by enqueue alone
         checks.append(float(jnp.vdot(res.x, res.x)))
-        times.append(time.time() - t0)
+        times.append(time.time() - t1)
+        beat(f"timed solve {t} done {times[-1]:.2f}s")
     t_solve = float(np.median(times))
 
     iters = int(res.iters)
@@ -126,12 +142,113 @@ def main():
             "levels": amg.level_sizes,
             "operator_complexity": round(amg.operator_complexity, 3),
             "approx_cycle_gnnz_per_s": round(cyc_nnz / t_solve / 1e9, 2),
-            "setup_path": "device (on-TPU generation+hierarchy+pack)",
+            "setup_path": path,
             "baseline": ("V100 out.14 (256^3, ext+i, f64): "
                          "setup 0.706s, solve 0.580s @ 20 iters"),
         },
     }
     print(json.dumps(result))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# supervisor
+# ---------------------------------------------------------------------------
+
+def _hb_age(hb_file: str) -> float:
+    try:
+        return time.time() - os.stat(hb_file).st_mtime
+    except OSError:
+        return 0.0     # no heartbeat yet: covered by the path budget
+
+
+def _terminate(proc: subprocess.Popen) -> None:
+    """SIGTERM and wait; escalate to SIGKILL only as a last resort
+    (a SIGKILLed TPU client leaves the relay grant wedged for
+    minutes; TERM lets the client close its connections)."""
+    if proc.poll() is not None:
+        return
+    proc.terminate()
+    try:
+        proc.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            pass
+
+
+def supervise() -> int:
+    last_json = None
+    errors = []
+    live: list[subprocess.Popen] = []
+
+    def _on_term(signum, frame):
+        for p in live:
+            _terminate(p)
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    for path in PATHS:
+        hb_file = f"/tmp/hypre_tpu_bench_hb_{os.getpid()}_{path}"
+        env = dict(os.environ)
+        env["HYPRE_TPU_HEARTBEAT_FILE"] = hb_file
+        t0 = time.time()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", path],
+            stdout=subprocess.PIPE, env=env, text=True)
+        live.append(proc)
+        print(f"[bench] supervisor: path={path} pid={proc.pid}",
+              file=sys.stderr, flush=True)
+        stalled = None
+        while True:
+            try:
+                proc.wait(timeout=10)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            age = _hb_age(hb_file)
+            wall = time.time() - t0
+            if age > STALL_S:
+                stalled = f"no heartbeat for {age:.0f}s"
+            elif wall > PATH_BUDGET_S:
+                stalled = f"budget {PATH_BUDGET_S}s exceeded"
+            if stalled:
+                print(f"[bench] supervisor: {path} stalled "
+                      f"({stalled}) — terminating",
+                      file=sys.stderr, flush=True)
+                _terminate(proc)
+                break
+        out = proc.stdout.read() if proc.stdout else ""
+        for line in out.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                last_json = line
+        if proc.returncode == 0 and last_json:
+            print(last_json)
+            return 0
+        errors.append(f"{path}: rc={proc.returncode}"
+                      + (f" ({stalled})" if stalled else ""))
+        # give the relay a moment to release the dead child's grant
+        time.sleep(30)
+    # every path failed: still print one honest JSON line
+    print(json.dumps({
+        "metric": f"AMG-PCG solve wall, {GRID}^3 7-pt Laplacian "
+                  "(1 chip, f32, ext+i interp, rlx 18)",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "extra": {"error": "; ".join(errors)},
+    }))
+    return 1
+
+
+def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        return run_child(sys.argv[2])
+    if os.environ.get("HYPRE_TPU_BENCH_NO_SUPERVISOR"):
+        return run_child(PATHS[0])
+    return supervise()
 
 
 if __name__ == "__main__":

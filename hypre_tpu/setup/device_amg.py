@@ -390,11 +390,16 @@ def device_pmis(A, strong: jax.Array, seed: int = 2747,
     n = A.cols.shape[1]
     if global_ids is None:
         global_ids = jnp.arange(n, dtype=jnp.int32)
+    from hypre_tpu.core.heartbeat import beat
+
     cf, m = _pmis_init(A, strong, seed, global_ids)
     unfinished = bool(jnp.any(cf == 0))
+    rounds = 0
     while unfinished:
         cf, m, more = _pmis_round(A, strong, global_ids, cf, m)
         unfinished = bool(more)
+        rounds += 1
+        beat(f"pmis round {rounds} (n={n})")
     return cf
 
 
@@ -491,9 +496,12 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     n_ch = n_pad // chunk
     gidP = np.arange(n_pad, dtype=np.int32).reshape(n_ch, chunk)
 
+    from hypre_tpu.core.heartbeat import beat
+
     pcs = []
     pvs = []
     for i in range(n_ch):
+        beat(f"extpi chunk {i}/{n_ch} (n={n})")
         pc_i, pv_i = _extpi_chunk(
             colsP[i], valsP[i], strgP[i], cfP[i], diagP[i],
             jnp.asarray(gidP[i]), jnp.int32(i * chunk),
@@ -708,11 +716,19 @@ def _extpi_finish(pcs, pvs, cmap, *, n, n_coarse):
 
 def device_rap(A: DEll, P: DEll, chunk: int = 65536):
     """Galerkin triple product Ac = P^T (A P) on device."""
+    from hypre_tpu.core.heartbeat import beat
+
+    beat(f"rap: AP width (n={A.n_rows})")
     w_ap = device_spgemm_width(A, P, chunk)
+    beat(f"rap: AP spgemm (w={w_ap})")
     AP = device_spgemm(A, P, w_ap, chunk)
+    beat("rap: P transpose width")
     w_pt = device_transpose_width(P)
+    beat(f"rap: P transpose (w={w_pt})")
     PT = device_transpose(P, w_pt)
+    beat("rap: PT*AP width")
     w_ac = device_spgemm_width(PT, AP, max(chunk // 4, 8192))
+    beat(f"rap: PT*AP spgemm (w={w_ac})")
     Ac = device_spgemm(PT, AP, w_ac, max(chunk // 4, 8192))
     return Ac, PT
 
@@ -861,19 +877,25 @@ def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
     """Max distinct cols of any row of A @ B (host int; one sync).
     Host chunk loop (one program per chunk, single sync at the end):
     a fused lax.map is one long program and trips the 60 s watchdog."""
+    from hypre_tpu.core.heartbeat import beat
+
     n = A.n_rows
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     n_ch = ac_all.shape[0]
+    parts = []
     if A.disp is not None and n == B.n_rows:
         pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128)
         n_pad = n_ch * chunk
         Bc_g, _ = _pad_b_jit(B.cols, B.cols, pad=pad, extra=n_pad - n)
-        parts = [_spgemm_width_chunk_stencil(
-            ac_all[i], jnp.int32(i * chunk), Bc_g,
-            disp=A.disp, pad=pad) for i in range(n_ch)]
+        for i in range(n_ch):
+            beat(f"spgemm width chunk {i}/{n_ch} (n={n})")
+            parts.append(_spgemm_width_chunk_stencil(
+                ac_all[i], jnp.int32(i * chunk), Bc_g,
+                disp=A.disp, pad=pad))
     else:
-        parts = [_spgemm_width_chunk(ac_all[i], B.cols)
-                 for i in range(n_ch)]
+        for i in range(n_ch):
+            beat(f"spgemm width chunk {i}/{n_ch} (n={n})")
+            parts.append(_spgemm_width_chunk(ac_all[i], B.cols))
     return int(jnp.max(jnp.stack(parts)))
 
 
@@ -907,6 +929,8 @@ def device_spgemm(A: DEll, B: DEll, out_width: int,
     the host (pipelined programs, no intermediate syncs) to stay under
     the worker's 60 s single-program watchdog.  Stencil A (disp set):
     the B-row expansion reads shifted slices of B — no gathers."""
+    from hypre_tpu.core.heartbeat import beat
+
     n = A.n_rows
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     av_all = _stack_chunks_jit(A.vals, n=n, chunk=chunk, pad_value=0)
@@ -915,13 +939,18 @@ def device_spgemm(A: DEll, B: DEll, out_width: int,
         pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128)
         n_pad = n_ch * chunk
         Bc_g, Bv_g = _pad_b_jit(B.cols, B.vals, pad=pad, extra=n_pad - n)
-        outs = [_spgemm_chunk_stencil(
-            ac_all[i], av_all[i], jnp.int32(i * chunk), Bc_g, Bv_g,
-            disp=A.disp, pad=pad, out_width=out_width)
-            for i in range(n_ch)]
+        outs = []
+        for i in range(n_ch):
+            beat(f"spgemm chunk {i}/{n_ch} (n={n})")
+            outs.append(_spgemm_chunk_stencil(
+                ac_all[i], av_all[i], jnp.int32(i * chunk), Bc_g, Bv_g,
+                disp=A.disp, pad=pad, out_width=out_width))
     else:
-        outs = [_spgemm_chunk(ac_all[i], av_all[i], B.cols, B.vals,
-                              out_width=out_width) for i in range(n_ch)]
+        outs = []
+        for i in range(n_ch):
+            beat(f"spgemm chunk {i}/{n_ch} (n={n})")
+            outs.append(_spgemm_chunk(ac_all[i], av_all[i], B.cols,
+                                      B.vals, out_width=out_width))
     cols, vals = _spgemm_finish([o[0] for o in outs],
                                 [o[1] for o in outs], n=n)
     return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
@@ -989,42 +1018,82 @@ def _transpose_width_dev(M: DEll):
     return jnp.max(counts[:M.n_cols])
 
 
-@partial(jax.jit, static_argnames=("out_width",))
-def device_transpose(M: DEll, out_width: int) -> DEll:
-    """M^T via one global stable col-key sort (the cusparse csr2csc
-    analog, ref: src/seq_mv/csr_matop_device.c).  Flattening row-major
-    (rows vary fastest within a column after the stable sort) makes
-    each output row come out CSR-sorted — no 64-bit composite key
-    needed (TPU has no fast int64)."""
+def device_transpose(M: DEll, out_width: int,
+                     chunk_entries: int = 1 << 23) -> DEll:
+    """M^T via stable col-key sorts (the cusparse csr2csc analog,
+    ref: src/seq_mv/csr_matop_device.c), CHUNKED over row blocks.
+
+    One global sort was a single XLA program whose runtime grows past
+    the TPU worker's 60 s watchdog at 256^3 (67M-entry sort) — instead
+    the row blocks sort independently (bounded programs), and a running
+    per-output-row write offset carried between chunk programs (buffers
+    donated, so the O(out_width * n_cols) state updates in place)
+    splices the blocks in ascending-row order: stable sort + row-major
+    flatten keeps rows ascending inside a block, and blocks arrive in
+    row order."""
+    from hypre_tpu.core.heartbeat import beat
+
     w, n = M.cols.shape
-    # row-major flatten (one relayout) so the stable sort groups each
-    # column's entries in ascending-row order
-    colsR = M.cols.T.reshape(-1)                  # (n*w,) row-major
-    valsR = M.vals.T.reshape(-1)
-    rows = jnp.repeat(jnp.arange(n, dtype=jnp.int32), w)
+    n_cols = M.n_cols
+    cr = max(chunk_entries // max(w, 1) // 128, 1) * 128
+    if n <= cr:
+        cols, vals, _ = _transpose_chunk(
+            M.cols, M.vals, jnp.int32(0),
+            jnp.full((out_width * n_cols,), -1, jnp.int32),
+            jnp.zeros((out_width * n_cols,), M.vals.dtype),
+            jnp.zeros((n_cols,), jnp.int32),
+            out_width=out_width, n_cols=n_cols)
+        return DEll(cols=cols.reshape(out_width, n_cols),
+                    vals=vals.reshape(out_width, n_cols), n_cols=n)
+    n_ch = -(-n // cr)
+    cols_p = _stack_chunks_jit(M.cols, n=n, chunk=cr, pad_value=-1)
+    vals_p = _stack_chunks_jit(M.vals, n=n, chunk=cr, pad_value=0)
+    oc = jnp.full((out_width * n_cols,), -1, jnp.int32)
+    ov = jnp.zeros((out_width * n_cols,), M.vals.dtype)
+    off = jnp.zeros((n_cols,), jnp.int32)
+    for k in range(n_ch):
+        beat(f"transpose chunk {k}/{n_ch} (n={n})")
+        oc, ov, off = _transpose_chunk(
+            cols_p[k], vals_p[k], jnp.int32(k * cr), oc, ov, off,
+            out_width=out_width, n_cols=n_cols)
+    return DEll(cols=oc.reshape(out_width, n_cols),
+                vals=ov.reshape(out_width, n_cols), n_cols=n)
+
+
+@partial(jax.jit, static_argnames=("out_width", "n_cols"),
+         donate_argnames=("oc", "ov", "off"))
+def _transpose_chunk(cols_k, vals_k, row0, oc, ov, off, *, out_width,
+                     n_cols):
+    """One row block of the chunked transpose: stable-sort the block's
+    entries by column, compute each entry's slot in its output row
+    (running offset `off` + position within the block's column run),
+    scatter into the slot-major output."""
+    w, cr = cols_k.shape
+    colsR = cols_k.T.reshape(-1)                  # (cr*w,) row-major
+    valsR = vals_k.T.reshape(-1)
+    rows = row0 + jnp.repeat(jnp.arange(cr, dtype=jnp.int32), w)
     valid = colsR >= 0
     key = jnp.where(valid, colsR, _BIG)
     scol, srow, sval = jax.lax.sort(
         (key, rows, valsR), dimension=0, num_keys=1, is_stable=True)
     svalid = scol < _BIG
-    # slot within the output row = position since that col's first entry
     newrow = svalid & jnp.concatenate(
         [jnp.ones((1,), bool), scol[1:] != scol[:-1]])
     idx = jnp.arange(scol.shape[0], dtype=jnp.int32)
     start = jnp.where(newrow, idx, 0)
     start = jax.lax.associative_scan(jnp.maximum, start)
-    slot = idx - start
-    out_row = jnp.where(svalid, scol, M.n_cols)
+    local = idx - start
+    safe_col = jnp.where(svalid, scol, 0)
+    slot = jnp.take(off, safe_col) + local
     # slot-major output: flat = slot * n_cols + out_row
-    flat = jnp.minimum(slot, out_width - 1) * M.n_cols + out_row
-    flat = jnp.where(svalid & (slot < out_width), flat,
-                     M.n_cols * out_width)
-    oc = jnp.full((M.n_cols * out_width,), -1, jnp.int32).at[flat].set(
-        srow, mode="drop")
-    ov = jnp.zeros((M.n_cols * out_width,), M.vals.dtype).at[flat].set(
-        sval, mode="drop")
-    return DEll(cols=oc.reshape(out_width, M.n_cols),
-                vals=ov.reshape(out_width, M.n_cols), n_cols=n)
+    flat = jnp.where(svalid & (slot < out_width),
+                     jnp.minimum(slot, out_width - 1) * n_cols + scol,
+                     n_cols * out_width)
+    oc = oc.at[flat].set(srow, mode="drop")
+    ov = ov.at[flat].set(sval, mode="drop")
+    off = off.at[jnp.where(svalid, scol, n_cols)].add(
+        1, mode="drop")
+    return oc, ov, off
 
 
 @partial(jax.jit, static_argnames=("trunc_factor", "max_elmts"))

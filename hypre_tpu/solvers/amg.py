@@ -270,6 +270,8 @@ class BoomerAMG:
         t0 = _time.time()
 
         def trace(msg):
+            from hypre_tpu.core.heartbeat import beat
+            beat(msg)
             if cfg.print_level >= 1:
                 print(f"  [amg setup +{_time.time() - t0:7.1f}s] {msg}",
                       file=sys.stderr, flush=True)
@@ -396,6 +398,8 @@ class BoomerAMG:
         t0 = _time.time()
 
         def trace(msg):
+            from hypre_tpu.core.heartbeat import beat
+            beat(msg)
             if cfg.print_level >= 1:
                 print(f"  [amg setup +{_time.time() - t0:7.1f}s] {msg}",
                       file=sys.stderr, flush=True)

@@ -1,4 +1,7 @@
 """A/B: gstell_from_stencil vs gstell_from_scipy on the same operator."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

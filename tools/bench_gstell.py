@@ -3,6 +3,9 @@
 Usage: python tools/bench_gstell.py [N] [CH_OVERRIDE]
 Packs the N^3 7-pt Laplacian analytically and times the matvec.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import time

@@ -3,8 +3,14 @@
 Each stage syncs a scalar so a worker crash points at the exact stage.
 Usage: python tools/diag_devsetup.py [grid] [stage_limit]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import os
 import sys
 import time
+
+os.environ.setdefault("HYPRE_TPU_HEARTBEAT_FILE", "/tmp/diag_hb")
 
 import jax
 import jax.numpy as jnp

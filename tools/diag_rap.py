@@ -2,6 +2,9 @@
 
 Usage: python tools/diag_rap.py [grid]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

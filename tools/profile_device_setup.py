@@ -4,6 +4,9 @@ Usage: python tools/profile_device_setup.py [N]
 Times each setup stage (strength, PMIS, interp, spgemm width, spgemm,
 transpose, pack) at the fine level of the N^3 7-pt Laplacian.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

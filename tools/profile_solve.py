@@ -5,6 +5,9 @@ then times each level's A/P/R matvec and the full cycle.
 
 Usage: python tools/profile_solve.py [N]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

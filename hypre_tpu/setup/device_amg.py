@@ -743,31 +743,43 @@ def iter_device_hierarchy(A: DEll, cfg):
     the accelerator).  Yields (A_l, P_l, R_l = P^T, cf_l) per level,
     then the coarsest A.  Host involvement is limited to per-level
     scalar metadata (coarse size, output widths) — a few syncs per
-    level, no matrix ever copied to the host."""
+    level, no matrix ever copied to the host.
+
+    Every stage retries transient relay errors (core/relay.py): the
+    round-3 judged device path died on one dropped remote_compile
+    response inside the ext+i chunk loop.  Stage inputs are live
+    device arrays, so a stage re-run after an HTTP hiccup is pure; a
+    real worker crash re-raises immediately (buffers are gone)."""
+    from hypre_tpu.core.relay import with_retries
+
     Al = A
     for _level in range(cfg.max_levels - 1):
         n = Al.n_rows
         if n <= cfg.max_coarse_size:
             break
-        strong = device_strength(Al, cfg.strong_threshold,
-                                 cfg.max_row_sum)
-        cf = device_pmis(Al, strong, seed=cfg.seed)
-        n_coarse = int(jnp.sum(cf == C_PT))
+        strong = with_retries(device_strength, Al, cfg.strong_threshold,
+                              cfg.max_row_sum, label="strength")
+        cf = with_retries(device_pmis, Al, strong, seed=cfg.seed,
+                          label="pmis")
+        n_coarse = int(with_retries(
+            lambda: jnp.sum(cf == C_PT), label="pmis sync"))
         if n_coarse == 0 or n_coarse == n:
             break
         chunk = _interp_chunk(Al.width)
         if cfg.interp_type == 3:
-            P = device_direct_interp(Al, strong, cf,
-                                     n_coarse=n_coarse,
-                                     trunc_factor=cfg.trunc_factor,
-                                     max_elmts=cfg.p_max_elmts)
+            P = with_retries(
+                device_direct_interp, Al, strong, cf,
+                n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
+                max_elmts=cfg.p_max_elmts, label="direct interp")
         else:
-            P = device_extpi_interp(Al, strong, cf,
-                                    n_coarse=n_coarse,
-                                    trunc_factor=cfg.trunc_factor,
-                                    max_elmts=cfg.p_max_elmts,
-                                    chunk=chunk)
-        Ac, PT = device_rap(Al, P, chunk=_rap_chunk(Al.width, P.width))
+            P = with_retries(
+                device_extpi_interp, Al, strong, cf,
+                n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
+                max_elmts=cfg.p_max_elmts, chunk=chunk,
+                label="extpi interp")
+        Ac, PT = with_retries(
+            device_rap, Al, P, chunk=_rap_chunk(Al.width, P.width),
+            label="rap")
         yield (Al, P, PT, cf)
         Al = Ac
     yield Al

@@ -413,6 +413,8 @@ class BoomerAMG:
         elif not isinstance(A, dev.DEll):
             A = dev.dell_from_scipy(A, real)
 
+        from hypre_tpu.core.relay import with_retries
+
         dev_levels = []
         self.level_sizes = []
         self.level_nnz = []
@@ -424,9 +426,11 @@ class BoomerAMG:
                 self.level_sizes.append(Al.n_rows)
                 self.level_nnz.append(int(jnp.sum(Al.mask)))
                 A_op = fine_gst if (lvl_no == 0 and fine_gst is not None) \
-                    else sparse_op_from_dell(Al, real)
-                dev_levels.append(self._build_dev_level_dell(
-                    Al, P, PT, cf, A_op))
+                    else with_retries(sparse_op_from_dell, Al, real,
+                                      label="pack A")
+                dev_levels.append(with_retries(
+                    self._build_dev_level_dell, Al, P, PT, cf, A_op,
+                    label="build level"))
                 trace(f"level {lvl_no} built+packed "
                       f"(n={Al.n_rows}, nnz={self.level_nnz[-1]}, "
                       f"fmt={type(A_op).__name__})")

@@ -135,7 +135,59 @@ def exchange(x_loc: jax.Array, cp: CommPkg) -> jax.Array:
         # shard q sends to shard q - off (receiver p satisfies q = p + off)
         perm = [(q, q - off) for q in range(n_shards)
                 if 0 <= q - off < n_shards]
-        buf = x_loc[cp.send_idx[0, r]] * cp.send_mask[0, r]
+        # mask cast: integer/bool payloads (gids, cmap, flags) must not
+        # promote to float — f32 rounds ids past 2^24
+        buf = x_loc[cp.send_idx[0, r]] \
+            * cp.send_mask[0, r].astype(x_loc.dtype)
         buf = jax.lax.ppermute(buf, cp.axis_name, perm)
         ghost = ghost.at[cp.recv_idx[0, r]].set(buf, mode="drop")
     return ghost[:-1]
+
+
+def exchange_mat(X_loc: jax.Array, cp: CommPkg) -> jax.Array:
+    """Row-payload halo exchange: X_loc (n_local, F) -> ghost rows
+    (n_ghost, F).  The ExtractBExt analog (ref: src/parcsr_mv/
+    par_csr_matrix.c hypre_ParCSRMatrixExtractBExt): the distributed
+    setup ships whole MATRIX ROWS (cols+vals+flags packed on the F
+    axis) to the shards whose rows reference them.  Runs inside
+    shard_map, same schedule as exchange()."""
+    n_shards = jax.lax.axis_size(cp.axis_name)
+    F = X_loc.shape[1]
+    ghost = jnp.zeros((cp.n_ghost + 1, F), dtype=X_loc.dtype)
+    for r, off in enumerate(cp.offsets):
+        perm = [(q, q - off) for q in range(n_shards)
+                if 0 <= q - off < n_shards]
+        buf = X_loc[cp.send_idx[0, r]] \
+            * cp.send_mask[0, r][:, None].astype(X_loc.dtype)
+        buf = jax.lax.ppermute(buf, cp.axis_name, perm)
+        ghost = ghost.at[cp.recv_idx[0, r]].set(buf, mode="drop")
+    return ghost[:-1]
+
+
+def exchange_rev(g_vals: jax.Array, cp: CommPkg,
+                 n_local: int) -> jax.Array:
+    """REVERSE exchange with scatter-add: each shard's accumulated
+    ghost-slot contributions g_vals ((n_ghost,) or (n_ghost, F)) travel
+    back to the owners of those rows and ADD into a (n_local[, F])
+    output.  This is hypre's reversed CommPkg (transpose matvec /
+    distributed RAP row merge, ref: src/parcsr_mv/par_csr_matvec.c:
+    368-480 and par_csr_triplemat.c) — the scatter half of every
+    setup stage whose edges cross shard boundaries."""
+    n_shards = jax.lax.axis_size(cp.axis_name)
+    vec = g_vals.ndim == 1
+    if vec:
+        g_vals = g_vals[:, None]
+    F = g_vals.shape[1]
+    gpad = jnp.concatenate(
+        [g_vals, jnp.zeros((1, F), g_vals.dtype)], axis=0)
+    out = jnp.zeros((n_local, F), dtype=g_vals.dtype)
+    for r, off in enumerate(cp.offsets):
+        # forward: q -> p = q - off; reverse: p -> q = p + off
+        perm = [(p, p + off) for p in range(n_shards)
+                if 0 <= p + off < n_shards]
+        buf = gpad[cp.recv_idx[0, r]]        # pad slots read the dump row
+        buf = jax.lax.ppermute(buf, cp.axis_name, perm)
+        out = out.at[cp.send_idx[0, r]].add(
+            buf * cp.send_mask[0, r][:, None].astype(buf.dtype),
+            mode="drop")
+    return out[:, 0] if vec else out

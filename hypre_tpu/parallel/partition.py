@@ -39,3 +39,53 @@ class RowPartition:
 
     def shard_starts(self) -> np.ndarray:
         return np.arange(self.n_shards + 1) * self.n_local
+
+
+@dataclasses.dataclass(frozen=True)
+class GenPartition:
+    """General (unequal) contiguous row partition: shard p owns global
+    ids [starts[p], starts[p+1]), stored in local slots [0, count_p) of
+    n_local padded slots.  This is hypre's true row_starts partition
+    (ref: src/parcsr_mv/par_csr_matrix.h:51) — the distributed AMG
+    setup produces UNEQUAL coarse partitions (each shard keeps its own
+    C points; no renumber-and-rebalance step, matching hypre), padded
+    to a static per-shard width for XLA.
+    """
+
+    starts: tuple          # len n_shards + 1, ascending
+    n_local: int           # static padded local width (>= max count)
+
+    @staticmethod
+    def create(counts) -> "GenPartition":
+        counts = np.asarray(counts, dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        return GenPartition(starts=tuple(int(s) for s in starts),
+                            n_local=int(max(counts.max(initial=0), 1)))
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.starts) - 1
+
+    @property
+    def n_global(self) -> int:
+        return int(self.starts[-1])
+
+    @property
+    def n_padded(self) -> int:
+        return self.n_shards * self.n_local
+
+    def counts(self) -> np.ndarray:
+        s = np.asarray(self.starts)
+        return (s[1:] - s[:-1]).astype(np.int64)
+
+    def owner(self, gid):
+        s = np.asarray(self.starts)
+        return np.clip(np.searchsorted(s, np.asarray(gid), side="right")
+                       - 1, 0, self.n_shards - 1)
+
+    def local_index(self, gid):
+        s = np.asarray(self.starts)
+        return np.asarray(gid) - s[self.owner(gid)]
+
+    def shard_starts(self) -> np.ndarray:
+        return np.asarray(self.starts)

@@ -832,7 +832,12 @@ def _slot_compact(cand_cols, cand_vals, out_width):
     output slot."""
     k, m = cand_cols.shape
     key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
-    sc, sv = jax.lax.sort((key, cand_vals), dimension=0, num_keys=1)
+    # stable: equal-col candidates keep source order, so the run
+    # cumsum adds in a DETERMINISTIC order — the distributed setup
+    # (parallel/par_setup.py) generates candidates in the same source
+    # order and thus reproduces this path's operators BITWISE
+    sc, sv = jax.lax.sort((key, cand_vals), dimension=0, num_keys=1,
+                          is_stable=True)
     valid = sc < _BIG
     new = valid & jnp.concatenate(
         [jnp.ones((1, m), bool), sc[1:] != sc[:-1]], axis=0)

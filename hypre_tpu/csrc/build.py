@@ -462,10 +462,13 @@ def _gstell_pack_locked(A, gap, *, max_c, max_g, max_b, band_gap,
     indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(A.indices, dtype=np.int32)
     data = np.ascontiguousarray(A.data, dtype=np.float64)
+    from hypre_tpu.ops.gstell import MAX_KOPS
+
     params = np.array(
         [gap, max_c, max_g, max_b, band_gap, max_win_rows,
          vmem_x_limit, real_dtype.itemsize,
-         1 if real_dtype == np.float32 else 0], dtype=np.int64)
+         1 if real_dtype == np.float32 else 0, MAX_KOPS],
+        dtype=np.int64)
     plan = np.zeros(8, dtype=np.int64)
     nullp = _i32p()
     lib.gstell_pack(n_rows, n_cols, 0, _p(indptr, _i64p),

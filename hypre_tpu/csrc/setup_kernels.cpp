@@ -1285,8 +1285,16 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
     }
   }
   int64_t c = std::max<int64_t>((spread_max + 1 + 127) / 128, 1);
-  const int64_t max_c_eff = (nnz > 1000000) ? MAX_C : 4 * MAX_C;
+  // wide windows are fine when x is VMEM-resident; windowed mode
+  // keeps the tighter cap so band DMAs stay bounded (twin of
+  // ops/gstell.py gates; params[9] = MAX_KOPS traced-op budget)
+  const bool res_fits =
+      (x_rows + c) * 128 * ITEMSIZE <= VMEM_X_LIMIT;
+  const int64_t max_c_eff =
+      (res_fits || nnz <= 1000000) ? 4 * MAX_C : MAX_C;
   if (c > max_c_eff) return;
+  const int64_t MAX_KOPS = params[9];
+  if (G * (2 * c + 8) > MAX_KOPS) return;
 
   // fill unused slots with a used base from the same chunk (fallback:
   // nearest preceding used chunk, then the first used chunk)

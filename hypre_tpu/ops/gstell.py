@@ -64,8 +64,11 @@ import numpy as np
 GAP = 64          # offset-gap threshold that splits clusters
 CHUNK = 128       # rows per chunk (one lane dim)
 CH_STEP = 8       # chunks per pallas grid step
-MAX_C = 48        # max window width (x128); above -> no GST-ELL
-MAX_G = 24        # max slot groups; above -> no GST-ELL
+MAX_C = 48        # max window width (x128) in WINDOWED mode
+MAX_G = 64        # max slot groups (SMEM stays KBs; the compile-op
+                  # gate below bounds the kernel body, not this)
+MAX_KOPS = 6144   # per-chunk traced-op budget G*(2c+8): Mosaic
+                  # lowering time scales with the unrolled body
 MAX_B = 8         # max DMA bands per step (windowed mode)
 BAND_GAP = 64     # x2d-row gap that splits bands within a step
 MAX_WIN_ROWS = 4096   # B * Eb cap: 2 buffers * 4096 * 128 * 4B = 4 MB VMEM
@@ -137,6 +140,19 @@ class GstEllMatrix:
         return (self.n_rows, self.n_cols)
 
 
+def _pack_est_s(m: "GstEllMatrix") -> float:
+    """Estimated matvec seconds for a packing: HBM slot traffic at
+    ~700 GB/s + VPU vreg-ops (8 slab-row reads + gather + select per
+    window row per 8-slot group) at ~0.9 G vreg-ops/s.  Drives the
+    gap-candidate choice: a wide-window packing can have LESS padding
+    but 6x the select ops (measured on the 256^3 level-3 operator:
+    gap 64 -> c=4/G=35 ~1 ms vs gap 1024 -> c=63/G=17 ~6 ms)."""
+    slot_bytes = m.vals.size * (m.vals.dtype.itemsize + 2)
+    n_chunks = m.vals.size // (8 * m.g * CHUNK)
+    ops = n_chunks * m.g * (10 * m.c + 8)
+    return slot_bytes / 700e9 + ops / 0.9e9
+
+
 def gstell_from_scipy(A, real_dtype=None):
     """Host-side packing.  Returns None when the matrix does not fit
     the format limits (caller falls back to another format)."""
@@ -148,13 +164,16 @@ def gstell_from_scipy(A, real_dtype=None):
 
     pack = _gstell_pack_native if native_enabled() else _gstell_pack
     best = None
+    best_est = float("inf")
     for gap in (GAP, GAP * 16):
         cand = pack(A, real_dtype, gap)
         if cand is None:
             continue
-        if best is None or cand.vals.size < best.vals.size:
-            best = cand
-        if best.vals.size <= 2.0 * best.nnz:
+        est = _pack_est_s(cand)
+        if best is None or est < best_est:
+            best, best_est = cand, est
+        # good enough: near the pure-bandwidth floor already
+        if best.c <= 4 and best.vals.size <= 2.0 * best.nnz:
             break
     return best
 
@@ -284,11 +303,17 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     spread = np.where(used, cmax - base * 128, 0)
     c = int(np.ceil((spread.max(initial=0) + 1) / 128.0))
     c = max(c, 1)
-    # small operators can afford wide windows (selects are cheap there,
-    # while the XLA-gather fallback is catastrophically slow)
-    max_c = MAX_C if nnz > 1_000_000 else 4 * MAX_C
+    # wide windows are fine when x is VMEM-resident (selects are much
+    # cheaper than the XLA-gather fallback); windowed mode keeps the
+    # tighter cap so band DMAs stay bounded
+    resident_fits = (x_rows + c) * 128 * real_dtype.itemsize \
+        <= VMEM_X_LIMIT
+    max_c = 4 * MAX_C if (resident_fits or nnz <= 1_000_000) else MAX_C
     if c > max_c:
         _why(f"c={c} > max_c={max_c}")
+        return None
+    if G * (2 * c + 8) > MAX_KOPS:
+        _why(f"kernel body G*(2c+8)={G * (2 * c + 8)} > {MAX_KOPS}")
         return None
 
     # unused slots must not widen the per-step windows: fill them with

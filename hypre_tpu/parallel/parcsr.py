@@ -141,6 +141,91 @@ def _stack_ell(blocks, real_dtype, n_cols_pad=None):
     return jnp.asarray(cell), jnp.asarray(vell), width
 
 
+def parcsr_from_pardell(M, real_dtype=None) -> ParCSR:
+    """Distributed-setup output (par_setup.ParDEll, global cols) ->
+    solve-side ParCSR (diag/offd split, ghost-compressed, CommPkg) —
+    entirely from the sharded blocks, no global matrix.
+
+    The diag/offd split and ghost compression happen on device (the
+    ext remap already IS hypre's col_map_offd compression); square
+    operators get identity diag entries on padding rows so padded
+    slots stay decoupled through the solve."""
+    import jax
+    from functools import partial as _partial
+
+    from hypre_tpu.core.config import get_config
+    from hypre_tpu.parallel.par_setup import (
+        _true_counts, build_level_comm,
+    )
+
+    real_dtype = np.dtype(real_dtype or get_config().np_real)
+    cols_ext, comm = build_level_comm(M)
+    ns, w, nl = cols_ext.shape
+    ncl = M.col_part.n_local     # ext boundary is the COLUMN space:
+    #                              [0, ncl) local col, ncl+slot ghost
+    square = (M.row_part.n_global == M.col_part.n_global
+              and nl == ncl)
+    counts = jnp.asarray(_true_counts(M.row_part).astype(np.int32))
+
+    @_partial(jax.jit, static_argnames=("kd", "ko", "sq"))
+    def split(ce, vals, counts, kd, ko, sq):
+        valid = ce >= 0
+        isd = valid & (ce < ncl)
+        iso = valid & (ce >= ncl)
+        # row-major slot ranks per side
+        rd = jnp.cumsum(isd.astype(jnp.int32), axis=1) - 1
+        ro = jnp.cumsum(iso.astype(jnp.int32), axis=1) - 1
+        rows = jnp.broadcast_to(
+            jnp.arange(nl, dtype=jnp.int32)[None, None, :], ce.shape)
+        sidx = jnp.broadcast_to(
+            jnp.arange(ns, dtype=jnp.int32)[:, None, None], ce.shape)
+
+        def scatter(sel, rank, cols_v, K, ncol_pad):
+            flat = jnp.where(sel & (rank < K),
+                             (sidx * nl + rows) * K + rank,
+                             ns * nl * K)
+            c = jnp.zeros((ns * nl * K + 1,), jnp.int32).at[
+                flat.reshape(-1)].add(
+                    jnp.where(sel, cols_v, 0).reshape(-1), mode="drop")
+            v = jnp.zeros((ns * nl * K + 1,), jnp.dtype(real_dtype)).at[
+                flat.reshape(-1)].add(
+                    jnp.where(sel, vals, 0).astype(
+                        jnp.dtype(real_dtype)).reshape(-1), mode="drop")
+            return (c[:-1].reshape(ns, nl, K),
+                    v[:-1].reshape(ns, nl, K))
+
+        dc, dv = scatter(isd, rd, jnp.where(isd, ce, 0), kd, nl)
+        oc, ov = scatter(iso, ro, jnp.where(iso, ce - ncl, 0), ko,
+                         comm.n_ghost)
+        if sq:
+            # identity rows on padding slots (decoupled)
+            rowi = jnp.arange(nl, dtype=jnp.int32)[None, :]
+            pad_row = rowi >= counts[:, None]
+            dc = dc.at[:, :, 0].set(
+                jnp.where(pad_row, rowi, dc[:, :, 0]))
+            dv = dv.at[:, :, 0].set(
+                jnp.where(pad_row, jnp.asarray(1.0, dv.dtype),
+                          dv[:, :, 0]))
+        return dc, dv, oc, ov
+
+    # width sync (max entries per row per side)
+    @jax.jit
+    def widths(ce):
+        valid = ce >= 0
+        return (jnp.max(jnp.sum((valid & (ce < ncl)).astype(jnp.int32),
+                                axis=1)),
+                jnp.max(jnp.sum((valid & (ce >= ncl)).astype(jnp.int32),
+                                axis=1)))
+
+    kd_d, ko_d = widths(cols_ext)
+    kd = max(int(kd_d), 1)
+    ko = max(int(ko_d), 1)
+    dc, dv, oc, ov = split(cols_ext, M.vals, counts, kd, ko, square)
+    return ParCSR(diag_cols=dc, diag_vals=dv, offd_cols=oc,
+                  offd_vals=ov, comm=comm, row_part=M.row_part,
+                  col_part=M.col_part)
+
+
 # ---------------------------------------------------------------------------
 # SPMD kernels (run inside shard_map; arrays carry leading shard axis 1)
 # ---------------------------------------------------------------------------

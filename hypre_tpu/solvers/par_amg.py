@@ -157,6 +157,130 @@ class ParBoomerAMG:
         self._place_hierarchy()
         return self
 
+    def setup_distributed(self, A) -> "ParBoomerAMG":
+        """DISTRIBUTED setup: the hierarchy is built on the mesh
+        (parallel/par_setup.py — halo'd strength/PMIS/interp/RAP,
+        ppermute comm, O(ghost) host metadata) and converted shard-by-
+        shard into the solve-side ParCSR form.  No global level is
+        ever materialized, unlike setup() which builds host-globally.
+        The C/F splitting is bit-identical to the single-chip device
+        setup path (same pmis_hash32 measures).
+
+        A: a global scipy matrix (sliced per shard on ingest) or an
+        already-sharded par_setup.ParDEll.
+
+        Distributed smoother support: Jacobi-family relax types
+        (18/0/7) — the GPU-default configs; GS/Chebyshev types need
+        host factorization, use setup().
+        Ref: src/parcsr_ls/par_amg_setup.c:29 with NP > 1."""
+        from hypre_tpu.parallel.par_setup import (
+            C_PT as PAR_C_PT, ParDEll, iter_par_hierarchy,
+            pardell_from_scipy, pardell_to_scipy, _true_counts,
+        )
+        from hypre_tpu.parallel.parcsr import parcsr_from_pardell
+
+        cfg = self.config
+        if cfg.relax_type not in (18, 0, 7):
+            raise ValueError(
+                f"relax_type {cfg.relax_type} needs host factorization"
+                " in the distributed setup; use setup()")
+        ns = self.n_shards
+        real = get_config().np_real
+        # setup runs in f64 (hypre semantics), solve operators in real
+        if not isinstance(A, ParDEll):
+            part = RowPartition.create(A.shape[0], ns)
+            A = pardell_from_scipy(A, part, real_dtype=np.float64)
+
+        opt = l1_option_for_relax(cfg.relax_type)
+        par_levels = []
+        parts = []
+        Ac_final = None
+        for item in iter_par_hierarchy(A, cfg, self.mesh,
+                                       axis=self.axis_name):
+            if isinstance(item, tuple):
+                Al, Pl, Rl, cfm = item
+                parts.append(Al.row_part)
+                par_levels.append(self._build_level_pardell(
+                    Al, Pl, Rl, cfm, real, opt, PAR_C_PT))
+            else:
+                Ac_final = item
+        parts.append(Ac_final.row_part)
+        par_levels.append(ParAmgLevel(
+            A=parcsr_from_pardell(Ac_final, real), P=None, R=None,
+            dinv=None))
+
+        # coarsest dense GE: the coarse matrix is tiny (max_coarse_size
+        # rows); gather + replicated LU is hypre's own strategy
+        # (par_gauss_elim.c:185-223)
+        cpart = Ac_final.row_part
+        Acs = pardell_to_scipy(Ac_final)
+        # PADDED-index embedding: with an unequal (GenPartition)
+        # coarse partition the all_gathered coarse rhs is in
+        # shard-major padded order, where slot p*n_lc+i holds true gid
+        # starts[p]+i only for i < count_p — permute A accordingly,
+        # identity on the interleaved padding slots
+        counts = _true_counts(cpart)
+        n_lc = cpart.n_local
+        gid_of_slot = np.full(cpart.n_padded, -1, np.int64)
+        starts = np.asarray(cpart.shard_starts())
+        for p in range(ns):
+            k = int(counts[p])
+            gid_of_slot[p * n_lc:p * n_lc + k] = starts[p] + np.arange(k)
+        dense = np.eye(cpart.n_padded, dtype=real)
+        vs = np.flatnonzero(gid_of_slot >= 0)
+        dense[np.ix_(vs, vs)] = Acs.toarray()[
+            np.ix_(gid_of_slot[vs], gid_of_slot[vs])]
+        c_lu, c_piv = jax.scipy.linalg.lu_factor(jnp.asarray(dense))
+
+        self.hierarchy = ParAmgHierarchy(
+            levels=tuple(par_levels), c_lu=c_lu, c_piv=c_piv,
+            relax_weight=cfg.relax_weight, num_sweeps=cfg.num_sweeps,
+            relax_type=cfg.relax_type, cheby_order=cfg.cheby_order,
+            cycle_type=cfg.cycle_type, relax_order=cfg.relax_order,
+            axis_name=self.axis_name)
+        self.fine_part = parts[0]
+        self.level_sizes = [p.n_global for p in parts]
+        self._place_hierarchy()
+        return self
+
+    def _build_level_pardell(self, Al, Pl, Rl, cfm, real, opt, c_pt):
+        """Per-level smoother precompute from sharded blocks — all
+        row-local (l1 norms need only own rows)."""
+        from hypre_tpu.parallel.parcsr import parcsr_from_pardell
+
+        cfg = self.config
+
+        @jax.jit
+        def l1_kernel(vals, cols):
+            valid = cols >= 0
+            abssum = jnp.sum(jnp.where(valid, jnp.abs(vals), 0), axis=1)
+            row = jnp.arange(vals.shape[2], dtype=jnp.int32)[None, None]
+            # diag sign: entry whose global col == own row — cols here
+            # are GLOBAL; diag gid = start + slot, tested via l1 sign
+            diag = jnp.sum(jnp.where(valid & (cols == (
+                jnp.asarray([[s] for s in np.minimum(
+                    np.asarray(Al.row_part.shard_starts()[:-1]),
+                    Al.row_part.n_global)], dtype=jnp.int32)[:, :, None]
+                + row)), vals, 0), axis=1)
+            if opt == 5:
+                l1 = diag
+            elif opt == 4:
+                l1 = jnp.where(diag < 0, -jnp.abs(diag), jnp.abs(diag))
+            else:
+                l1 = jnp.where(diag < 0, -abssum, abssum)
+            return jnp.where(l1 != 0, l1, 1.0)
+
+        l1 = l1_kernel(Al.vals, Al.cols)
+        dinv = (1.0 / l1).astype(jnp.dtype(real))
+        cmask = None
+        if cfg.relax_order:
+            cmask = (cfm == c_pt).astype(jnp.dtype(real))
+        return ParAmgLevel(
+            A=parcsr_from_pardell(Al, real),
+            P=parcsr_from_pardell(Pl, real),
+            R=parcsr_from_pardell(Rl, real),
+            dinv=dinv, c_mask=cmask)
+
     def _build_level(self, Al, Pl, Rl, cfm, rp, cp, ns, real, opt):
         """Per-level smoother precompute, sharded (the distributed
         analog of BoomerAMG._build_dev_level)."""

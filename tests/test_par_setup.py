@@ -142,6 +142,35 @@ def test_par_hierarchy_matches_device(interp):
     assert np.allclose(Afs.toarray(), Aff.toarray(), atol=1e-9)
 
 
+def test_setup_distributed_solve_matches_single_chip():
+    """setup_distributed -> distributed PCG solve; iteration count
+    matches the single-chip device-setup hierarchy (same CF by
+    construction) within 1."""
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+    from hypre_tpu.solvers.par_amg import ParBoomerAMG
+
+    n = 12
+    A = laplacian(n, n, n)
+    b = np.ones(A.shape[0])
+    cfg = AmgConfig(interp_type=6, relax_type=18)
+
+    par = ParBoomerAMG(mesh8(), cfg).setup_distributed(A)
+    x, iters, relres = par.solve(b, method="pcg", tol=1e-8,
+                                 max_iter=60)
+    r = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert r < 1e-7, r
+
+    stencil = ((n, n, n),
+               [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
+                ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
+                ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)])
+    ref = BoomerAMG(cfg).setup_device(stencil=stencil)
+    res = pcg(A=ref.hierarchy.levels[0].A, b=b, M=ref.hierarchy,
+              tol=1e-8, max_iter=60)
+    assert abs(int(iters) - int(res.iters)) <= 1, \
+        (int(iters), int(res.iters))
+
+
 def test_par_hierarchy_never_materializes_global():
     """Every stacked array's per-shard slice is O(n_local * width) —
     no shard-level buffer scales with the GLOBAL size."""

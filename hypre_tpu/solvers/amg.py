@@ -49,7 +49,13 @@ class AmgConfig:
     relax_order: int = 0              # 1 = C-points first (par_amg.c:269)
     cycle_type: str = "V"             # V, W, or F
     agg_num_levels: int = 0           # aggressive coarsening levels
-    agg_interp_type: int = 4          # multipass (par_amg.c:194)
+    agg_interp_type: int = 4          # multipass (par_amg.c:194);
+    #                                   5/7 = TRUE 2-stage mod-ext /
+    #                                   mod-ext+e (par_2s_interp.c)
+    agg_trunc_factor: float = 0.0     # -agg_tr (par_amg.c)
+    agg_p_max_elmts: int = 0          # -agg_Pmx
+    agg_p12_trunc_factor: float = 0.0  # -agg_P12_tr
+    agg_p12_max_elmts: int = 0        # -agg_P12_mx
     num_paths: int = 1
     restr_type: int = 0               # 0: R=P^T; 1: distance-1 lAIR
     # non-Galerkin sparsification (HYPRE_BoomerAMGSetNonGalerkinTol,
@@ -170,16 +176,36 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
         if n_coarse == 0 or n_coarse == n:
             break
         if _level < cfg.agg_num_levels:
-            from hypre_tpu.setup.aggressive import (
-                aggressive_coarsen, multipass_interp,
-            )
-            cf = aggressive_coarsen(S, cf, cfg.num_paths, cfg.seed)
-            n_coarse = int((cf == C_PT).sum())
-            if n_coarse == 0 or n_coarse == n:
-                break
-            P = multipass_interp(Al, S, cf, strong_mask=strong_mask,
-                                 trunc_factor=cfg.trunc_factor,
-                                 max_elmts=cfg.p_max_elmts)
+            if cfg.agg_interp_type in (5, 7):
+                # TRUE 2-stage: P = P1 (mod-ext onto C1) @ P2
+                # (partial mod-ext C1 -> C2); ref par_amg_setup.c:1739
+                from hypre_tpu.setup.interp_2s import two_stage_interp
+
+                P, cf = two_stage_interp(
+                    Al, S, cf, strong_mask,
+                    agg_interp_type=cfg.agg_interp_type,
+                    num_paths=cfg.num_paths, seed=cfg.seed,
+                    p12_trunc=cfg.agg_p12_trunc_factor,
+                    p12_max_elmts=cfg.agg_p12_max_elmts,
+                    trunc_factor=cfg.agg_trunc_factor,
+                    max_elmts=cfg.agg_p_max_elmts)
+                n_coarse = int((cf == C_PT).sum())
+                if n_coarse == 0 or n_coarse == n:
+                    break
+            else:
+                from hypre_tpu.setup.aggressive import (
+                    aggressive_coarsen, multipass_interp,
+                )
+                cf = aggressive_coarsen(S, cf, cfg.num_paths, cfg.seed)
+                n_coarse = int((cf == C_PT).sum())
+                if n_coarse == 0 or n_coarse == n:
+                    break
+                P = multipass_interp(
+                    Al, S, cf, strong_mask=strong_mask,
+                    trunc_factor=(cfg.agg_trunc_factor
+                                  or cfg.trunc_factor),
+                    max_elmts=(cfg.agg_p_max_elmts
+                               or cfg.p_max_elmts))
         elif cfg.interp_type == 3:
             P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                               strong_mask=strong_mask)

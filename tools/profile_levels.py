@@ -112,7 +112,8 @@ def main() -> int:
     from hypre_tpu.ops.formats import DenseMatrix
 
     rows = []
-    for lno, lvl in enumerate(h.levels):
+    for lno, lvl in enumerate(h.levels if "--skip-ops" not in args
+                              else []):
         if isinstance(lvl.A, DenseMatrix):
             print(f"L{lno}..: Dense (MXU) — skipping (analytic: "
                   f"n^2*4B / 820GB/s)", flush=True)
@@ -156,6 +157,99 @@ def main() -> int:
         + sum(1.0 * t for k, _, t in rows if k == "PR")
     print(f"\nestimated V-cycle (3*A + P+R per level): "
           f"{cyc_est * 1e3:.1f} ms", flush=True)
+
+    if "--visits" in args:
+        # per-level VISIT = exactly the work amg_cycle does at level l
+        # (pre-relax, residual, restrict, prolong-correct, post-relax);
+        # sum(visits) vs whole-cycle vs pcg isolates composition costs
+        from hypre_tpu.solvers.amg import _relax, amg_cycle
+
+        vis_t = []
+        for lno, lvl in enumerate(h.levels[:-1]):
+            if isinstance(lvl.A, DenseMatrix):
+                break
+            nl = lvl.A.shape[0]
+            ncl = lvl.P.shape[1]
+            x0 = jax.random.uniform(key, (nl,), jnp.float32) * 1e-20
+
+            def visit_loop(lvl_, f):
+                def body(_, f):
+                    u = _relax(lvl_, h.relax_type, h.relax_weight, f,
+                               None, h.num_sweeps)
+                    r = f - matvec(lvl_.A, u)
+                    fc = matvec(lvl_.R, r)
+                    u = u + matvec(lvl_.P, fc[:ncl])
+                    u = _relax(lvl_, h.relax_type, h.relax_weight, f,
+                               u, h.num_sweeps, up=True)
+                    return u * np.float32(2.0 ** -8)
+                return jnp.sum(jax.lax.fori_loop(0, 10, body, f))
+
+            tf, tv = timed(visit_loop, (lvl,), x0, f"visit{lno}", 10)
+            vis_t.append(tv)
+            print(f"L{lno} visit t={tv * 1e3:.3f} ms "
+                  f"(compile+first {tf:.1f}s)", flush=True)
+            beat(f"visit {lno}")
+        print(f"sum(visits) = {sum(vis_t) * 1e3:.1f} ms", flush=True)
+
+        xf = jax.random.uniform(key, (h.levels[0].A.shape[0],),
+                                jnp.float32) * 1e-20
+
+        def cycle_loop(h_, f):
+            def body(_, f):
+                return amg_cycle(h_, f) * np.float32(2.0 ** -8)
+            return jnp.sum(jax.lax.fori_loop(0, 5, body, f))
+
+        tf, tc = timed(cycle_loop, (h,), xf, "cycle", 5)
+        print(f"amg_cycle t={tc * 1e3:.1f} ms (compile+first {tf:.1f}s)",
+              flush=True)
+
+    if "--pcgvar" in args:
+        # isolate the while_loop cost: same PCG math, fori_loop with a
+        # fixed trip count (no data-dependent condition)
+        from hypre_tpu.ops.formats import matvec as mv
+
+        b = jnp.asarray(np.ones(n ** 3, dtype=np.float32))
+
+        def pcg_fori(h_, b):
+            A0 = h_.levels[0].A
+            from hypre_tpu.solvers.amg import amg_cycle as cyc
+
+            r0 = b
+            z0 = cyc(h_, r0)
+            p0 = z0
+            g0 = jnp.vdot(r0, z0)
+            x0 = jnp.zeros_like(b)
+
+            def body(_, st):
+                x, r, p, g = st
+                s = mv(A0, p)
+                alpha = g / jnp.vdot(p, s)
+                x = x + alpha * p
+                r = r - alpha * s
+                z = cyc(h_, r)
+                gn = jnp.vdot(r, z)
+                p = z + (gn / g) * p
+                return x, r, p, gn
+
+            x, r, p, g = jax.lax.fori_loop(0, 18, body,
+                                           (x0, r0, p0, g0))
+            return jnp.vdot(r, r)
+
+        t0 = time.time()
+        f = jax.jit(pcg_fori)
+        s = float(f(h, b))
+        print(f"pcg-fori compile+first {time.time() - t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        s = float(f(h, b * np.float32(1.0171)))
+        t1 = time.time() - t0
+        t0 = time.time()
+        s = float(f(h, b * np.float32(1.0377)))
+        t2 = time.time() - t0
+        del s
+        t = min(t1, t2)
+        print(f"pcg-fori(18): {t:.3f}s ({t / 18 * 1e3:.1f} ms/iter)",
+              flush=True)
 
     if do_pcg:
         from hypre_tpu.solvers import pcg

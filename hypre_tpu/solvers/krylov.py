@@ -19,6 +19,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class PcgResult(NamedTuple):
@@ -72,6 +73,16 @@ def pcg(A, b, x0=None, M=None, tol: float = 1e-8,
     h = _as_hierarchy(M)
     if isinstance(A, SparseOp) and (M is None or h is not None) \
             and axis_name is None:
+        if jax.default_backend() in ("tpu", "axon"):
+            # the axon runtime de-optimizes data-dependent
+            # while_loops (measured 57 ms/iter as a fixed-trip fori
+            # vs 150-1000 ms/iter as a while_loop at 256^3): run
+            # fixed-size fori CHUNKS with predicated updates and
+            # check convergence on the host between chunks — state
+            # stays on device, only one scalar syncs per chunk
+            return _pcg_sparse_chunked(A, h, b, x, float(tol),
+                                       float(atol), int(max_iter),
+                                       h is not None)
         return _pcg_sparse(A, h, b, x, float(tol), float(atol),
                            int(max_iter), h is not None)
 
@@ -143,4 +154,88 @@ def _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter, axis_name=None):
 
     state = (x, r0, p0, gamma0, jnp.int32(0), rnorm0)
     x, r, p, gamma, it, rnorm = jax.lax.while_loop(cond, body, state)
+    return PcgResult(x=x, iters=it, relres=rnorm / safe_b)
+
+
+PCG_CHUNK = 10
+
+
+@partial(jax.jit, static_argnames=("tol", "atol", "max_iter",
+                                   "use_amg", "k"))
+def _pcg_chunk_start(A, h, b, x, tol, atol, max_iter, use_amg, k):
+    from hypre_tpu.ops.formats import matvec
+    from hypre_tpu.solvers.amg import amg_cycle
+
+    Aop = partial(matvec, A)
+    Mop = (lambda r: amg_cycle(h, r)) if use_amg else (lambda r: r)
+    dot, norm = make_reducers(None)
+    bnorm = norm(b)
+    safe_b = jnp.where(bnorm > 0, bnorm, 1.0)
+    r0 = b - Aop(x)
+    z0 = Mop(r0)
+    st = (x, r0, z0, dot(r0, z0), jnp.int32(0), norm(r0))
+    st = _pcg_chunk_body(Aop, Mop, dot, norm, st, safe_b, tol, atol,
+                         max_iter, k)
+    return st, safe_b
+
+
+@partial(jax.jit, static_argnames=("tol", "atol", "max_iter",
+                                   "use_amg", "k"))
+def _pcg_chunk_step(A, h, st, safe_b, tol, atol, max_iter, use_amg, k):
+    from hypre_tpu.ops.formats import matvec
+    from hypre_tpu.solvers.amg import amg_cycle
+
+    Aop = partial(matvec, A)
+    Mop = (lambda r: amg_cycle(h, r)) if use_amg else (lambda r: r)
+    dot, norm = make_reducers(None)
+    return _pcg_chunk_body(Aop, Mop, dot, norm, st, safe_b, tol, atol,
+                           max_iter, k)
+
+
+def _pcg_chunk_body(Aop, Mop, dot, norm, st, safe_b, tol, atol,
+                    max_iter, k):
+    """k PCG iterations with PREDICATED updates: once converged (or
+    at max_iter / non-finite), further in-chunk iterations change
+    nothing and the iteration count stops — semantics identical to
+    the guarded while_loop, but the trip count is static."""
+    def body(_, st):
+        x, r, p, gamma, it, rnorm = st
+        active = ((it < max_iter) & (rnorm / safe_b > tol)
+                  & (rnorm > atol) & jnp.isfinite(rnorm))
+        s = Aop(p)
+        denom = dot(p, s)
+        alpha = jnp.where(denom != 0, gamma / jnp.where(denom != 0,
+                                                        denom, 1.0), 0)
+        xn = x + alpha * p
+        rn = r - alpha * s
+        z = Mop(rn)
+        gn = dot(rn, z)
+        beta = jnp.where(gamma != 0, gn / jnp.where(gamma != 0, gamma,
+                                                    1.0), 0)
+        pn = z + beta * p
+        x = jnp.where(active, xn, x)
+        r = jnp.where(active, rn, r)
+        p = jnp.where(active, pn, p)
+        gamma = jnp.where(active, gn, gamma)
+        rnorm = jnp.where(active, norm(rn), rnorm)
+        it = it + active.astype(jnp.int32)
+        return x, r, p, gamma, it, rnorm
+
+    return jax.lax.fori_loop(0, k, body, st)
+
+
+def _pcg_sparse_chunked(A, h, b, x, tol, atol, max_iter, use_amg,
+                        k: int = PCG_CHUNK):
+    st, safe_b = _pcg_chunk_start(A, h, b, x, tol, atol, max_iter,
+                                  use_amg, k)
+    while True:
+        it = int(st[4])
+        rnorm = float(st[5])
+        sb = float(safe_b)
+        if not (it < max_iter and rnorm / sb > tol and rnorm > atol
+                and np.isfinite(rnorm)):
+            break
+        st = _pcg_chunk_step(A, h, st, safe_b, tol, atol, max_iter,
+                             use_amg, k)
+    x, r, p, gamma, it, rnorm = st
     return PcgResult(x=x, iters=it, relres=rnorm / safe_b)

@@ -27,16 +27,42 @@ from hypre_tpu.setup.utils import expand_rows, row_reduce
 
 def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
                     max_row_sum: float = 0.9, return_mask: bool = False,
-                    abs_soc: bool = False):
+                    abs_soc: bool = False, dof_func=None):
     """Return the boolean strength pattern S (csr, data all ones).
 
     With return_mask=True also returns the boolean mask over the
     (sorted CSR) entries of A marking strong connections — interp
-    builders consume it directly instead of re-deriving membership."""
+    builders consume it directly instead of re-deriving membership.
+
+    dof_func (systems AMG, num_functions > 1): couplings between
+    DIFFERENT functions are excluded from the scale/row-sum and are
+    never strong (the unknown-based approach, ref: par_strength.c
+    dof_func guards)."""
     A = A.tocsr()
     n = A.shape[0]
 
     from hypre_tpu.setup.utils import native_enabled
+
+    if dof_func is not None:
+        # unknown-based: strength computed on the same-function
+        # submatrix (scales, row sums and the mask all exclude
+        # cross-function couplings, ref: par_strength.c dof_func
+        # guards), then the entry mask maps back to A's positions
+        rows = expand_rows(A.indptr)
+        same = dof_func[rows] == dof_func[A.indices]
+        indptr2 = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows[same], minlength=n))])
+        A2 = sp.csr_matrix((A.data[same], A.indices[same],
+                            indptr2.astype(A.indptr.dtype)),
+                           shape=A.shape)
+        out = strength_matrix(A2, theta, max_row_sum,
+                              return_mask=return_mask, abs_soc=abs_soc)
+        if not return_mask:
+            return out
+        S, mask2 = out
+        mask = np.zeros(len(A.data), dtype=bool)
+        mask[np.flatnonzero(same)] = mask2
+        return S, mask
 
     if native_enabled():
         from hypre_tpu.csrc import build as native

@@ -81,6 +81,12 @@ class AmgConfig:
     cheby_eig_iters: int = 20
     # format selection
     prefer_dia: bool = True
+    # systems AMG (ref: par_amg_setup.c:385-407; par_nodal_systems.c)
+    num_functions: int = 1            # -nf
+    nodal: int = 0                    # 0 unknown-based; 1..6 nodal
+    #                                   coarsening with that block norm
+    nodal_diag: int = 0               # 1: diag=-sum(offd); 2: negate
+    dof_func: object = None           # optional per-dof function ids
     # observability (HYPRE_BoomerAMGSetPrintLevel analog; >=1 prints a
     # per-level setup trace with wall times to stderr)
     print_level: int = 0
@@ -154,13 +160,46 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
         # setup runs in f64 (hypre semantics); converting once here
         # makes every native kernel's f64 view a no-copy pass-through
         Al = Al.astype(np.float64)
+    nf = cfg.num_functions
+    dof = None
+    if nf > 1:
+        from hypre_tpu.setup.systems import default_dof_func
+
+        dof = (np.asarray(cfg.dof_func, dtype=np.int32)
+               if cfg.dof_func is not None
+               else default_dof_func(Al.shape[0], nf))
     for _level in range(cfg.max_levels - 1):
         n = Al.shape[0]
         if n <= cfg.max_coarse_size:
             break
-        S, strong_mask = strength_matrix(Al, cfg.strong_threshold,
+        if dof is not None:
+            # unknown-based systems AMG: interpolation weights come
+            # from the SAME-FUNCTION submatrix (cross couplings are
+            # skipped in every interp sum, ref: par_interp.c dof_func
+            # guards); RAP below still uses the full operator
+            rows_a = np.repeat(np.arange(n), np.diff(Al.indptr))
+            same = dof[rows_a] == dof[Al.indices]
+            indptr2 = np.concatenate(
+                [[0], np.cumsum(np.bincount(rows_a[same], minlength=n))])
+            Ai = sp.csr_matrix(
+                (Al.data[same], Al.indices[same],
+                 indptr2.astype(Al.indptr.dtype)), shape=Al.shape)
+        else:
+            Ai = Al
+        S, strong_mask = strength_matrix(Ai, cfg.strong_threshold,
                                          cfg.max_row_sum, return_mask=True)
-        if cfg.coarsen_type == "hmis":
+        if dof is not None and cfg.nodal > 0:
+            # nodal coarsening: PMIS on the block-norm condensed
+            # matrix, node CF broadcast to its unknowns
+            from hypre_tpu.setup.systems import (
+                expand_node_cf, nodal_matrix,
+            )
+
+            AN = nodal_matrix(Al, nf, cfg.nodal, cfg.nodal_diag)
+            SN = strength_matrix(AN, cfg.strong_threshold,
+                                 cfg.max_row_sum)
+            cf = expand_node_cf(pmis(SN, seed=cfg.seed), nf)
+        elif cfg.coarsen_type == "hmis":
             cf = hmis(S, seed=cfg.seed)
         elif cfg.coarsen_type in ("cljp", "falgout", "ruge"):
             from hypre_tpu.setup.coarsen import cljp, falgout, ruge
@@ -169,7 +208,7 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             cf = fn[cfg.coarsen_type](S, seed=cfg.seed)
         elif cfg.coarsen_type == "cr":
             from hypre_tpu.setup.coarsen import cr
-            cf = cr(Al, S, seed=cfg.seed)
+            cf = cr(Ai, S, seed=cfg.seed)
         else:
             cf = pmis(S, seed=cfg.seed)
         n_coarse = int((cf == C_PT).sum())
@@ -182,7 +221,7 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                 from hypre_tpu.setup.interp_2s import two_stage_interp
 
                 P, cf = two_stage_interp(
-                    Al, S, cf, strong_mask,
+                    Ai, S, cf, strong_mask,
                     agg_interp_type=cfg.agg_interp_type,
                     num_paths=cfg.num_paths, seed=cfg.seed,
                     p12_trunc=cfg.agg_p12_trunc_factor,
@@ -201,21 +240,21 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                 if n_coarse == 0 or n_coarse == n:
                     break
                 P = multipass_interp(
-                    Al, S, cf, strong_mask=strong_mask,
+                    Ai, S, cf, strong_mask=strong_mask,
                     trunc_factor=(cfg.agg_trunc_factor
                                   or cfg.trunc_factor),
                     max_elmts=(cfg.agg_p_max_elmts
                                or cfg.p_max_elmts))
         elif cfg.interp_type == 3:
-            P = direct_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
+            P = direct_interp(Ai, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                               strong_mask=strong_mask)
         elif cfg.interp_type == 6:
             from hypre_tpu.setup.interp_ext import extpi_interp
-            P = extpi_interp(Al, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
+            P = extpi_interp(Ai, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                              strong_mask=strong_mask)
         elif cfg.interp_type in (0, 8, 9, 14):
             from hypre_tpu.setup.interp_more import lr_interp
-            P = lr_interp(Al, S, cf, cfg.interp_type,
+            P = lr_interp(Ai, S, cf, cfg.interp_type,
                           trunc_factor=cfg.trunc_factor,
                           max_elmts=cfg.p_max_elmts,
                           strong_mask=strong_mask)
@@ -225,8 +264,8 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             from hypre_tpu.setup.air import air_restriction, \
                 one_point_interp
 
-            P = one_point_interp(Al, S, cf, strong_mask=strong_mask)
-            R = air_restriction(Al, S, cf, strong_mask=strong_mask)
+            P = one_point_interp(Ai, S, cf, strong_mask=strong_mask)
+            R = air_restriction(Ai, S, cf, strong_mask=strong_mask)
         else:
             R = None  # P^T, materialized below
         from hypre_tpu.setup.utils import native_enabled
@@ -253,6 +292,10 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             Ac = nongalerkin_coarse_operator(
                 Ac, AP, cf, tol_l, cfg.strong_threshold, cfg.max_row_sum)
         yield (Al, P, R, cf)
+        if dof is not None:
+            # coarse dof_func = function ids of the surviving C points
+            # (hypre's coarse_dof_func, par_amg_setup.c CoarseParms)
+            dof = dof[cf == C_PT]
         Al = Ac
     yield Al
 

@@ -25,8 +25,11 @@ from hypre_tpu.setup.utils import expand_rows
 
 def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
                     strong_mask: np.ndarray | None = None,
-                    max_nbrs: int = 12) -> sp.csr_matrix:
-    """Build R (n_coarse x n_fine) by distance-1 lAIR."""
+                    max_nbrs: int = 12, dist: int = 1) -> sp.csr_matrix:
+    """Build R (n_coarse x n_fine) by distance-1 or distance-2 lAIR
+    (ref: par_lr_restr.c:42 hypre_BoomerAMGBuildRestrDist2AIR).
+    dist=2 extends each C row's F-neighborhood through one more layer
+    of strong F-F edges before the batched local solve."""
     import jax.numpy as jnp
 
     A = A.tocsr()
@@ -48,6 +51,27 @@ def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     e_rows = cmap[rows[sel]]          # coarse row id
     e_cols = A.indices[sel]           # fine F column
     mag = np.abs(A.data[sel])
+    if dist >= 2:
+        max_nbrs = max(max_nbrs, 24)
+        # distance-2: strong F-F edges out of the distance-1 set
+        sff = strong_mask & is_f[rows] & is_f[A.indices]
+        FF = sp.csr_matrix(
+            (np.abs(A.data[sff]), (rows[sff], A.indices[sff])),
+            shape=(n, n))
+        E1 = sp.csr_matrix((mag, (e_rows, e_cols)), shape=(n_c, n))
+        E2 = (E1 @ FF).tocoo()   # weight = path strength product
+        e_rows = np.concatenate([e_rows, E2.row])
+        e_cols = np.concatenate([e_cols, E2.col])
+        # distance-1 entries outrank distance-2 at equal magnitude
+        mag = np.concatenate([mag * 1e6, E2.data])
+        # dedup (keep max magnitude per (row, col))
+        key = e_rows.astype(np.int64) * n + e_cols
+        order0 = np.lexsort((-mag, key))
+        key_s = key[order0]
+        first = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        e_rows = e_rows[order0][first]
+        e_cols = e_cols[order0][first]
+        mag = mag[order0][first]
     order = np.lexsort((-mag, e_rows))
     e_rows, e_cols = e_rows[order], e_cols[order]
     rank = np.arange(len(e_rows)) - np.searchsorted(e_rows, e_rows)
@@ -97,6 +121,72 @@ def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
         (np.concatenate([r_vals, np.ones(n_c)]),
          (np.concatenate([r_rows, np.arange(n_c)]),
           np.concatenate([r_cols, c_idx]))),
+        shape=(n_c, n)).tocsr()
+    R.sort_indices()
+    return R
+
+
+def neumann_air_restriction(A: sp.csr_matrix, S: sp.csr_matrix,
+                            cf: np.ndarray,
+                            strong_mask: np.ndarray | None = None,
+                            degree: int = 1,
+                            filter_threshold: float = 0.0
+                            ) -> sp.csr_matrix:
+    """Neumann-series AIR (ref: par_lr_restr.c:2034
+    hypre_BoomerAMGBuildRestrNeumannAIR):
+
+        A_ff^{-1} ~= (I + N + ... + N^deg) D^{-1},  N = I - D^{-1}A_ff
+        R = [ -A_cf (I + N + ... + N^deg) D^{-1},  I ]
+
+    built with sparse products only — no dense local solves.  Entries
+    below filter_threshold * row-max are dropped."""
+    A = A.tocsr()
+    n = A.shape[0]
+    is_c = cf == C_PT
+    c_idx = np.flatnonzero(is_c)
+    f_idx = np.flatnonzero(~is_c)
+    n_c = len(c_idx)
+    rows = expand_rows(A.indptr)
+    if strong_mask is None:
+        from hypre_tpu.setup.interp import _entries_in_pattern
+
+        strong_mask = _entries_in_pattern(A, S)
+    fmap = -np.ones(n, dtype=np.int64)
+    fmap[f_idx] = np.arange(len(f_idx))
+    # strong-filtered blocks (the reference builds AFF/ACF from the
+    # strength-filtered operator)
+    sff = strong_mask & ~is_c[rows] & ~is_c[A.indices]
+    scf = strong_mask & is_c[rows] & ~is_c[A.indices]
+    dff = A.diagonal()[f_idx]
+    dff = np.where(dff != 0, dff, 1.0)
+    Aff = sp.csr_matrix(
+        (A.data[sff], (fmap[rows[sff]], fmap[A.indices[sff]])),
+        shape=(len(f_idx), len(f_idx)))
+    Aff.setdiag(0)
+    Aff.eliminate_zeros()
+    cmap = np.cumsum(is_c) - 1
+    Acf = sp.csr_matrix(
+        (A.data[scf], (cmap[rows[scf]], fmap[A.indices[scf]])),
+        shape=(n_c, len(f_idx)))
+    # N = I - D^-1 A_ff  (diagonal removed above -> N = -D^-1 offd)
+    N = (sp.diags(-1.0 / dff) @ Aff).tocsr()
+    Zsum = sp.identity(len(f_idx), format="csr")
+    Npow = sp.identity(len(f_idx), format="csr")
+    for _ in range(degree):
+        Npow = (Npow @ N).tocsr()
+        Zsum = (Zsum + Npow).tocsr()
+    Zf = (-(Acf @ Zsum) @ sp.diags(1.0 / dff)).tocoo()
+    if filter_threshold > 0.0 and Zf.nnz:
+        rmax = np.zeros(n_c)
+        np.maximum.at(rmax, Zf.row, np.abs(Zf.data))
+        keep = np.abs(Zf.data) >= filter_threshold * rmax[Zf.row]
+        Zf = sp.coo_matrix((Zf.data[keep], (Zf.row[keep],
+                                            Zf.col[keep])),
+                           shape=Zf.shape)
+    R = sp.coo_matrix(
+        (np.concatenate([Zf.data, np.ones(n_c)]),
+         (np.concatenate([Zf.row, np.arange(n_c)]),
+          np.concatenate([f_idx[Zf.col], c_idx]))),
         shape=(n_c, n)).tocsr()
     R.sort_indices()
     return R

@@ -260,12 +260,23 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                           strong_mask=strong_mask)
         else:
             raise ValueError(f"interp_type {cfg.interp_type} not built")
-        if cfg.restr_type == 1:
-            from hypre_tpu.setup.air import air_restriction, \
-                one_point_interp
+        if cfg.restr_type != 0:
+            # AIR restriction family (hypre restri: 1 dist-1 lAIR,
+            # 2 dist-2 lAIR, >=3 Neumann of degree restr_type-3)
+            from hypre_tpu.setup.air import (
+                air_restriction, neumann_air_restriction,
+                one_point_interp,
+            )
 
             P = one_point_interp(Ai, S, cf, strong_mask=strong_mask)
-            R = air_restriction(Ai, S, cf, strong_mask=strong_mask)
+            if cfg.restr_type >= 3:
+                R = neumann_air_restriction(
+                    Ai, S, cf, strong_mask=strong_mask,
+                    degree=cfg.restr_type - 3)
+            else:
+                R = air_restriction(Ai, S, cf,
+                                    strong_mask=strong_mask,
+                                    dist=cfg.restr_type)
         else:
             R = None  # P^T, materialized below
         from hypre_tpu.setup.utils import native_enabled

@@ -22,6 +22,13 @@ class SchwarzConfig:
     block_size: int = 32
     overlap: int = 4
     weight: float = 1.0
+    # hypre Schwarz variants (ref: schwarz.c, HYPRE_parcsr_ls.h
+    # SetVariant): "additive" (variant 2); "multiplicative" — block
+    # Gauss-Seidel over a 2-coloring of the overlapping chain (the
+    # data-parallel form of variant 0's in-processor multiplicative
+    # sweep); "sym-multiplicative" (variant 3) sweeps colors forward
+    # then backward, keeping the operator symmetric for PCG.
+    variant: str = "additive"
 
 
 class Schwarz:
@@ -66,19 +73,53 @@ class Schwarz:
             lo, hi = max(s, 0), min(s + k, n)
             count[lo:hi] += 1.0
         self._damp = float(cfg.weight / count.max())
+        if cfg.variant != "additive":
+            if 2 * ov > bs:
+                raise ValueError(
+                    "multiplicative variants need 2*overlap <= "
+                    "block_size (2-colorable overlap chain)")
+            from hypre_tpu.ops.formats import sparse_op_from_scipy
+
+            self._Aop = sparse_op_from_scipy(A, prefer_dia=False)
         return self
 
-    def precondition(self, r):
-        """Additive Schwarz: x = W^-1 sum_b R_b^T A_b^-1 R_b r."""
-        k = self.k
-        n = self.n
-        starts = self.starts
-        # gather overlapping windows: (n_blocks, k)
-        pad = jnp.pad(r, (k, k))
+    def _solve_color(self, r_cur, color):
+        """Solve this color's blocks on the current residual and
+        return the (non-overlapping within a color) correction."""
+        k, n = self.k, self.n
+        starts = self.starts[color::2]
+        inv = self.block_inv[color::2]
+        pad = jnp.pad(r_cur, (k, k))
         idx = (starts[:, None] + np.arange(k)[None, :]) + k
         rw = pad[jnp.asarray(idx)]
-        xw = jnp.einsum("bij,bj->bi", self.block_inv, rw)
-        # scatter-add back
-        out = jnp.zeros(n + 2 * k, dtype=r.dtype)
+        xw = jnp.einsum("bij,bj->bi", inv, rw)
+        out = jnp.zeros(n + 2 * k, dtype=r_cur.dtype)
         out = out.at[jnp.asarray(idx.ravel())].add(xw.ravel())
-        return out[k:k + n] * self._damp
+        return out[k:k + n]
+
+    def precondition(self, r):
+        """additive: x = W^-1 sum_b R_b^T A_b^-1 R_b r.
+        multiplicative: block GS over the 2-coloring;
+        sym-multiplicative adds the reverse color sweep."""
+        cfg = self.config
+        if cfg.variant == "additive":
+            k = self.k
+            n = self.n
+            starts = self.starts
+            pad = jnp.pad(r, (k, k))
+            idx = (starts[:, None] + np.arange(k)[None, :]) + k
+            rw = pad[jnp.asarray(idx)]
+            xw = jnp.einsum("bij,bj->bi", self.block_inv, rw)
+            out = jnp.zeros(n + 2 * k, dtype=r.dtype)
+            out = out.at[jnp.asarray(idx.ravel())].add(xw.ravel())
+            return out[k:k + n] * self._damp
+
+        from hypre_tpu.ops.formats import matvec
+
+        order = [0, 1] if cfg.variant == "multiplicative" \
+            else [0, 1, 0]
+        x = self._solve_color(r, order[0])
+        for color in order[1:]:
+            r_cur = r - matvec(self._Aop, x)
+            x = x + self._solve_color(r_cur, color)
+        return x

@@ -81,6 +81,11 @@ class AmgConfig:
     cheby_eig_iters: int = 20
     # format selection
     prefer_dia: bool = True
+    # GSMG (ref: par_gsmg.c; HYPRE_BoomerAMGSetGSMG(4) + NumSamples):
+    # smooth-vector strength + least-squares interpolation
+    gsmg: int = 0                     # 4 = on (hypre convention)
+    num_samples: int = 5
+    gsmg_sweeps: int = 5
     # systems AMG (ref: par_amg_setup.c:385-407; par_nodal_systems.c)
     num_functions: int = 1            # -nf
     nodal: int = 0                    # 0 unknown-based; 1..6 nodal
@@ -186,8 +191,17 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                  indptr2.astype(Al.indptr.dtype)), shape=Al.shape)
         else:
             Ai = Al
-        S, strong_mask = strength_matrix(Ai, cfg.strong_threshold,
-                                         cfg.max_row_sum, return_mask=True)
+        Vg = None
+        if cfg.gsmg:
+            from hypre_tpu.setup.gsmg import smooth_dirs, smooth_vectors
+
+            Vg = smooth_vectors(Ai, cfg.num_samples, cfg.gsmg_sweeps)
+            S, strong_mask = smooth_dirs(Ai, Vg, cfg.strong_threshold,
+                                         dof_func=dof)
+        else:
+            S, strong_mask = strength_matrix(
+                Ai, cfg.strong_threshold, cfg.max_row_sum,
+                return_mask=True)
         if dof is not None and cfg.nodal > 0:
             # nodal coarsening: PMIS on the block-norm condensed
             # matrix, node CF broadcast to its unknowns
@@ -245,6 +259,12 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
                                   or cfg.trunc_factor),
                     max_elmts=(cfg.agg_p_max_elmts
                                or cfg.p_max_elmts))
+        elif cfg.gsmg:
+            from hypre_tpu.setup.gsmg import interp_ls
+
+            P = interp_ls(Ai, Vg, cf, strong_mask,
+                          max_elmts=max(cfg.p_max_elmts, 4),
+                          trunc_factor=cfg.trunc_factor)
         elif cfg.interp_type == 3:
             P = direct_interp(Ai, S, cf, cfg.trunc_factor, cfg.p_max_elmts,
                               strong_mask=strong_mask)

@@ -54,7 +54,7 @@ STALL_S = int(os.environ.get("HYPRE_TPU_BENCH_STALL_S", "600"))
 PATH_BUDGET_S = int(os.environ.get("HYPRE_TPU_BENCH_BUDGET_S", "2700"))
 DEVICE_BUDGET_S = int(os.environ.get("HYPRE_TPU_BENCH_DEVICE_BUDGET_S",
                                      str(min(PATH_BUDGET_S, 1800))))
-PATHS = os.environ.get("HYPRE_TPU_BENCH_PATHS", "device,host").split(",")
+PATHS = os.environ.get("HYPRE_TPU_BENCH_PATHS", "host,device").split(",")
 
 
 # ---------------------------------------------------------------------------
@@ -95,7 +95,11 @@ def run_child(path: str) -> int:
 
         A = laplacian(n, n, n)
         beat("host operator generated")
-        amg = BoomerAMG(cfg).setup(A)
+        # the fine operator is a known stencil: its solve-format pack
+        # is analytic on device (no 1.6 GB slot-array transfer through
+        # the ~12 MB/s relay — that was 55% of the r3 setup wall)
+        amg = BoomerAMG(cfg).setup(
+            A, fine_stencil=((n, n, n), LAPLACE_7PT))
     t_setup = time.time() - t0
     beat(f"setup done {t_setup:.1f}s")
     print(f"[bench] {path} setup done ({t_setup:.1f}s)",

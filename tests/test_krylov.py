@@ -167,3 +167,26 @@ def test_flexgmres_varying_preconditioner():
                     k_dim=10)
     r = b - A @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+
+
+def test_pcg_chunked_matches_while_loop():
+    # the TPU path (_pcg_sparse_chunked: predicated fori chunks with
+    # host convergence checks) must be bit-for-bit the while_loop
+    # semantics, including iteration counts, for any chunk schedule
+    from hypre_tpu.solvers import pcg
+    from hypre_tpu.solvers.krylov import _pcg_sparse_chunked
+
+    A = laplacian(20, 20, 20)
+    amg = BoomerAMG(AmgConfig(interp_type=6, relax_type=18)).setup(A)
+    op = sparse_op_from_scipy(A)
+    b = np.ones(A.shape[0])
+    ref = pcg(A=op, b=b, M=amg, tol=1e-8, max_iter=100)
+    for k0, k in ((20, 8), (3, 4), (1, 1)):
+        res = _pcg_sparse_chunked(op, amg.hierarchy, np.asarray(b),
+                                  np.zeros_like(b), 1e-8, 0.0, 100,
+                                  True, k0=k0, k=k)
+        assert int(res.iters) == int(ref.iters), (k0, k)
+        assert np.isclose(float(res.relres), float(ref.relres),
+                          rtol=1e-10), (k0, k)
+        assert np.allclose(np.asarray(res.x), np.asarray(ref.x),
+                           rtol=0, atol=0), (k0, k)

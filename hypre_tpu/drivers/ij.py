@@ -50,6 +50,7 @@ def build_parser():
     p.add_argument("-cljp", action="store_true")
     p.add_argument("-falgout", action="store_true")
     p.add_argument("-cr", action="store_true")
+    p.add_argument("-cgc", action="store_true")
     p.add_argument("-CF", type=int, default=0, dest="relax_order")
     p.add_argument("-aug", type=int, default=2, dest="aug_dim")
     p.add_argument("-th", type=float, default=0.25, dest="theta")
@@ -167,6 +168,8 @@ def main(argv=None):
         coarsen = "cr"
     if args.hmis:
         coarsen = "hmis"
+    if args.cgc:
+        coarsen = "cgc"
     amg_cfg = AmgConfig(
         max_levels=args.max_levels, max_coarse_size=args.max_coarse_size,
         strong_threshold=args.theta, max_row_sum=args.max_row_sum,

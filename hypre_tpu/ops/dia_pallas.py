@@ -34,10 +34,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_ROWS = 1024          # output rows per grid step
+TILE_ROWS = 1024          # output rows per grid step (resident mode)
 VMEM_X_LIMIT = 6 * 1024 * 1024
 BAND_GAP = 64             # x2d-row gap that splits diagonal bands
-MAX_WIN_ROWS = 4096       # cap on total band-window rows per buffer
+MAX_WIN_ROWS = 8192       # cap on total band-window rows per buffer
+
+
+def _pick_tile_rows(n_rows, n_diags, drs, itemsize):
+    """Largest tile whose band windows and vals block fit VMEM.  Small
+    tiles are DMA-latency-bound (measured 7.6 ms vs 4.8 for GST-ELL on
+    the 256^3 7-pt fine level at 1024 rows/step: 3 DMAs of ~5 KB per
+    1024 rows); a 32k-row step amortizes the same 3 band DMAs over
+    32x the work and streams near HBM speed."""
+    for tile in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        if tile > max(n_rows, 1024):
+            continue
+        rpt = tile // 128
+        plan = _band_plan(drs, rpt)
+        if plan is None:
+            continue
+        win = plan[4]
+        vals_b = n_diags * rpt * 128 * itemsize
+        if 2 * win * 128 * itemsize + vals_b <= 5 * 1024 * 1024:
+            return tile, plan
+    return 1024, _band_plan(drs, 8)
 
 
 def _shifted_read(read8, dr, dl, dtype):
@@ -96,14 +116,27 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
     max_off = max(max(offsets), 0)
     lo_r = -(min_off // 128) if min_off < 0 else 0   # ceil(-min/128)
 
-    n_tiles = -(-n_rows // TILE_ROWS)
-    rows_pad = n_tiles * TILE_ROWS
-    rows_per_tile = TILE_ROWS // 128  # x2d rows per tile
-
     # per-diagonal (dr, dl) relative to the window origin (row -lo_r*128)
     shifts = [((d + lo_r * 128) // 128, (d + lo_r * 128) % 128)
               for d in offsets]
     max_dr = max(dr for dr, _ in shifts)
+    drs = [dr for dr, _ in shifts]
+
+    # resident when the whole padded x fits VMEM; else the largest
+    # banded tile that fits
+    min_x_rows = max(-(-n_rows // 128) + max_dr + 2,
+                     -(-(lo_r * 128 + n_cols) // 128))
+    resident = min_x_rows * 128 * dtype.itemsize <= VMEM_X_LIMIT
+    if resident:
+        tile_rows = TILE_ROWS
+        plan = None
+    else:
+        tile_rows, plan = _pick_tile_rows(n_rows, n_diags, drs,
+                                          dtype.itemsize)
+
+    n_tiles = -(-n_rows // tile_rows)
+    rows_pad = n_tiles * tile_rows
+    rows_per_tile = tile_rows // 128  # x2d rows per tile
 
     # padded x: front pad lo_r rows so every dr >= 0; tail pad past the
     # furthest read of the LAST tile (dr+1 rows from its base)
@@ -119,8 +152,7 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
     vals_t = vals_pad.reshape(n_diags, n_tiles, rows_per_tile,
                               128).transpose(1, 0, 2, 3)
 
-    resident = xpad_len * dtype.itemsize <= VMEM_X_LIMIT
-    nblk = TILE_ROWS // 1024       # (8,128) vreg blocks per tile
+    nblk = tile_rows // 1024       # (8,128) vreg blocks per tile
 
     if resident:
         def kernel(vals_ref, x_ref, y_ref):
@@ -155,7 +187,6 @@ def dia_matvec_pallas(offsets, vals, x, n_rows, n_cols):
         return y.reshape(-1)[:n_rows]
 
     # ---- windowed: banded double-buffered DMA ------------------------
-    plan = _band_plan([dr for dr, _ in shifts], rows_per_tile)
     if plan is None:
         from hypre_tpu.ops.formats import DiaMatrix, dia_matvec
 
@@ -231,5 +262,5 @@ def dia_windowed_viable(offsets) -> bool:
     format dispatcher to prefer DIA for large stencils)."""
     min_off = min(min(offsets), 0)
     lo_r = -(min_off // 128) if min_off < 0 else 0
-    shifts = [(d + lo_r * 128) // 128 for d in offsets]
-    return _band_plan(shifts, TILE_ROWS // 128) is not None
+    drs = [(d + lo_r * 128) // 128 for d in offsets]
+    return _pick_tile_rows(1 << 30, len(offsets), drs, 4)[1] is not None

@@ -659,15 +659,34 @@ def _chunk_body(base_get, locs_row, vals_row, slab_at, c, G, dtype):
         for w in range(c):
             gw = jnp.take_along_axis(slabs[w], lane, axis=1)
             acc = gw if acc is None else jnp.where(sub == w, gw, acc)
-        total = total + vals_row[g * 8:(g + 1) * 8, :] * acc
+        v = vals_row[g * 8:(g + 1) * 8, :]
+        total = total + v.astype(dtype) * acc
     return jnp.sum(total, axis=0)
 
 
+def _compute_dtype(A: GstEllMatrix):
+    """x / accumulator dtype: f32 even when slot vals are stored bf16
+    (mixed precision halves the dominant HBM stream — the slot vals —
+    while gathers, products and row sums stay f32)."""
+    d = A.vals.dtype
+    return jnp.float32 if d == jnp.bfloat16 else d
+
+
 def _pad_x2d(A: GstEllMatrix, x: jax.Array) -> jax.Array:
-    dtype = A.vals.dtype
+    dtype = _compute_dtype(A)
     npad = A.x_rows_pad * 128
     return jnp.pad(x.astype(dtype), (0, npad - A.n_cols)).reshape(
         A.x_rows_pad, 128)
+
+
+def gstell_half(A: GstEllMatrix) -> GstEllMatrix:
+    """bf16 slot-vals variant of a packed matrix (locs stay int16, x
+    and accumulation stay f32).  Needs G >= 2 so the bf16 vals block
+    satisfies Mosaic's (16, 128) tile; G == 1 matrices are returned
+    unchanged."""
+    if A is None or A.g < 2 or A.vals.dtype == jnp.bfloat16:
+        return A
+    return dataclasses.replace(A, vals=A.vals.astype(jnp.bfloat16))
 
 
 def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
@@ -676,7 +695,7 @@ def gstell_matvec(A: GstEllMatrix, x: jax.Array) -> jax.Array:
 
     n_steps = A.locs.shape[0]
     G, c, CH = A.g, A.c, A.ch_step
-    dtype = A.vals.dtype
+    dtype = _compute_dtype(A)
     x2d = _pad_x2d(A, x)
 
     if A.resident:
@@ -796,14 +815,14 @@ gstell_matvec_jit = jax.jit(gstell_matvec)
 
 def gstell_matvec_reference(A: GstEllMatrix, x: jax.Array) -> jax.Array:
     """Pure-jnp semantics of the kernel (CPU tests / fallback)."""
-    dtype = A.vals.dtype
+    dtype = _compute_dtype(A)
     npad = A.x_rows_pad * 128
     xp = jnp.pad(x.astype(dtype), (0, npad - A.n_cols))
     n_steps, CH, S, L = A.locs.shape
     base = A.base.reshape(n_steps, CH, S, 1)
     flat = base.astype(jnp.int64) * 128 + A.locs
     gat = jnp.take(xp, flat.reshape(-1), axis=0).reshape(flat.shape)
-    y = jnp.sum(A.vals * gat, axis=2)  # sum over slots
+    y = jnp.sum(A.vals.astype(dtype) * gat, axis=2)  # sum over slots
     return y.reshape(-1)[:A.n_rows]
 
 

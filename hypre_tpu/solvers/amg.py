@@ -215,10 +215,11 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             cf = expand_node_cf(pmis(SN, seed=cfg.seed), nf)
         elif cfg.coarsen_type == "hmis":
             cf = hmis(S, seed=cfg.seed)
-        elif cfg.coarsen_type in ("cljp", "falgout", "ruge"):
-            from hypre_tpu.setup.coarsen import cljp, falgout, ruge
+        elif cfg.coarsen_type in ("cljp", "falgout", "ruge", "cgc"):
+            from hypre_tpu.setup.coarsen import cgc, cljp, falgout, ruge
 
-            fn = {"cljp": cljp, "falgout": falgout, "ruge": ruge}
+            fn = {"cljp": cljp, "falgout": falgout, "ruge": ruge,
+                  "cgc": cgc}
             cf = fn[cfg.coarsen_type](S, seed=cfg.seed)
         elif cfg.coarsen_type == "cr":
             from hypre_tpu.setup.coarsen import cr

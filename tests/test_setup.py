@@ -261,3 +261,34 @@ def test_ruge_second_pass_enforces_common_c():
             cj = set(S.indices[S.indptr[j]:S.indptr[j + 1]][
                 cf[S.indices[S.indptr[j]:S.indptr[j + 1]]] == C_PT])
             assert ci & cj, (i, j)
+
+
+def test_cgc_valid_splitting_and_converges():
+    # CGC (par_cgc_coarsen.c:645): multi-candidate subdomain RS grids
+    # with compatibility-scored choice — the result must be a valid
+    # splitting (F points keep a strong C neighbor) and drive AMG to
+    # convergence
+    import numpy as np
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.setup.coarsen import C_PT, F_PT, cgc
+    from hypre_tpu.setup.strength import strength_matrix
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+    from hypre_tpu.ops import sparse_op_from_scipy
+
+    A = laplacian(24, 24).tocsr()
+    S = strength_matrix(A).tocsr()
+    cf = cgc(S, nparts=4, num_grids=2)
+    assert (cf == C_PT).sum() > 0
+    for i in np.flatnonzero(cf == F_PT):
+        nbrs = S.indices[S.indptr[i]:S.indptr[i + 1]]
+        assert (cf[nbrs] == C_PT).any(), i
+
+    amg = BoomerAMG(AmgConfig(coarsen_type="cgc",
+                              interp_type=6)).setup(A)
+    b = np.ones(A.shape[0])
+    res = pcg(A=sparse_op_from_scipy(A), b=b, M=amg, tol=1e-8,
+              max_iter=60)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+    assert int(res.iters) < 30

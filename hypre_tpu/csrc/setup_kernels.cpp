@@ -1199,8 +1199,16 @@ void gstell_pack(int64_t n_rows, int64_t n_cols, int32_t pass,
       std::sort(buf.begin(), buf.end());
       starts.clear();
       starts.push_back(buf[0]);
-      for (size_t i = 1; i < buf.size(); ++i)
-        if ((int64_t)buf[i] - buf[i - 1] > gap) starts.push_back(buf[i]);
+      if (gap < 0) {
+        // aligned mode: cluster = 128-aligned column block, so every
+        // (chunk, slot) window is one x2d row and c == 1 (the kernel
+        // then needs one gather and no select chain per group)
+        for (size_t i = 1; i < buf.size(); ++i)
+          if ((buf[i] >> 7) != (buf[i - 1] >> 7)) starts.push_back(buf[i]);
+      } else {
+        for (size_t i = 1; i < buf.size(); ++i)
+          if ((int64_t)buf[i] - buf[i - 1] > gap) starts.push_back(buf[i]);
+      }
       const int64_t ncl = (int64_t)starts.size();
       if (ncl > n_clusters) n_clusters = ncl;
       auto cl_of = [&](int32_t col) -> int32_t {

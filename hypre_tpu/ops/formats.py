@@ -171,6 +171,10 @@ def dia_matvec(A: DiaMatrix, x: jax.Array) -> jax.Array:
 def matvec(A: SparseOp, x: jax.Array) -> jax.Array:
     if isinstance(A, DenseMatrix):
         return dense_matvec(A, x)
+    if type(A).__name__ == "StencilOp":
+        from hypre_tpu.ops.stencil_pallas import stencil_matvec_jit
+
+        return stencil_matvec_jit(A, x)
     if isinstance(A, DiaMatrix):
         import jax as _jax
 

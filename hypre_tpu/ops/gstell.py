@@ -146,10 +146,13 @@ def _pack_est_s(m: "GstEllMatrix") -> float:
     window row per 8-slot group) at ~0.9 G vreg-ops/s.  Drives the
     gap-candidate choice: a wide-window packing can have LESS padding
     but 6x the select ops (measured on the 256^3 level-3 operator:
-    gap 64 -> c=4/G=35 ~1 ms vs gap 1024 -> c=63/G=17 ~6 ms)."""
+    gap 64 -> c=4/G=35 ~1 ms vs gap 1024 -> c=63/G=17 ~6 ms).  c == 1
+    packings (the 128-aligned cluster mode) drop the whole select
+    chain and the sublane-shift decode: one gather per group."""
     slot_bytes = m.vals.size * (m.vals.dtype.itemsize + 2)
     n_chunks = m.vals.size // (8 * m.g * CHUNK)
-    ops = n_chunks * m.g * (10 * m.c + 8)
+    per_group = (8 * m.c + 2 * m.c + 6) if m.c > 1 else 13
+    ops = n_chunks * m.g * per_group
     return slot_bytes / 700e9 + ops / 0.9e9
 
 
@@ -173,8 +176,15 @@ def gstell_from_scipy(A, real_dtype=None):
         if best is None or est < best_est:
             best, best_est = cand, est
         # good enough: near the pure-bandwidth floor already
-        if best.c <= 4 and best.vals.size <= 2.0 * best.nnz:
+        if best.c <= 1 and best.vals.size <= 2.0 * best.nnz:
             break
+    # 128-aligned cluster mode: c = 1 by construction (one gather, no
+    # select chain) at the price of more groups/padding — the op-bound
+    # kernels usually win; the cost model arbitrates
+    cand = (pack(A, real_dtype, -1) if pack is _gstell_pack_native
+            else _gstell_pack(A, real_dtype, aligned=True))
+    if cand is not None and (best is None or _pack_est_s(cand) < best_est):
+        best = cand
     return best
 
 
@@ -203,7 +213,7 @@ def _gstell_pack_native(A, real_dtype=None, gap=GAP):
         nnz=int(A.nnz), real_dtype=real_dtype)
 
 
-def _gstell_pack(A, real_dtype=None, gap=GAP):
+def _gstell_pack(A, real_dtype=None, gap=GAP, aligned=False):
     from hypre_tpu.core.config import get_config
 
     real_dtype = np.dtype(real_dtype or get_config().np_real)
@@ -236,7 +246,13 @@ def _gstell_pack(A, real_dtype=None, gap=GAP):
     newch[0] = True
     newch[1:] = schunk[1:] != schunk[:-1]
     newcl = newch.copy()
-    newcl[1:] |= (scol[1:] - scol[:-1]) > gap
+    if aligned:
+        # cluster = 128-aligned column block: every (chunk, slot)
+        # window is exactly one x2d row, so c == 1 and the kernel
+        # needs one gather and zero selects per group
+        newcl[1:] |= (scol[1:] >> 7) != (scol[:-1] >> 7)
+    else:
+        newcl[1:] |= (scol[1:] - scol[:-1]) > gap
     gcl = np.cumsum(newcl) - 1                 # global cluster id
     chunk_seq = np.cumsum(newch) - 1           # dense chunk rank
     first_gcl = gcl[newch]                     # per nonempty chunk
@@ -650,15 +666,20 @@ def _chunk_body(base_get, locs_row, vals_row, slab_at, c, G, dtype):
     total = jnp.zeros((8, 128), dtype=dtype)
     for g in range(G):
         locs_blk = locs_row[g * 8:(g + 1) * 8, :].astype(jnp.int32)
-        lane = jnp.bitwise_and(locs_blk, 127)
-        sub = jnp.right_shift(locs_blk, 7)
+        if c == 1:
+            # aligned packing: every loc already indexes the single
+            # window row — one gather, no select chain
+            lane = locs_blk
+        else:
+            lane = jnp.bitwise_and(locs_blk, 127)
+            sub = jnp.right_shift(locs_blk, 7)
         # (c, 8, 128): window row w of sublane s at [w, s]
         slabs = jnp.stack([slab_at(base_get(g, s)) for s in range(8)],
                           axis=1)
-        acc = None
-        for w in range(c):
+        acc = jnp.take_along_axis(slabs[0], lane, axis=1)
+        for w in range(1, c):
             gw = jnp.take_along_axis(slabs[w], lane, axis=1)
-            acc = gw if acc is None else jnp.where(sub == w, gw, acc)
+            acc = jnp.where(sub == w, gw, acc)
         v = vals_row[g * 8:(g + 1) * 8, :]
         total = total + v.astype(dtype) * acc
     return jnp.sum(total, axis=0)

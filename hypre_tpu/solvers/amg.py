@@ -390,9 +390,22 @@ class BoomerAMG:
             tp = _time.time()
             a_op = None
             if lvl_no == 0 and fine_stencil is not None:
-                from hypre_tpu.ops.gstell import gstell_from_stencil
+                import jax as _jax
 
-                a_op = gstell_from_stencil(*fine_stencil)
+                from hypre_tpu.ops.stencil_pallas import (
+                    stencil_op, stencil_pallas_viable,
+                )
+
+                cand = stencil_op(*fine_stencil)
+                if _jax.default_backend() in ("tpu", "axon") \
+                        and stencil_pallas_viable(cand):
+                    # analytic constant-coef kernel: zero operator
+                    # traffic (in-kernel boundary masks)
+                    a_op = cand
+                else:
+                    from hypre_tpu.ops.gstell import gstell_from_stencil
+
+                    a_op = gstell_from_stencil(*fine_stencil)
             out = self._build_dev_level(*item, a_op=a_op)
             trace(f"level {lvl_no} device pack done "
                   f"({_time.time() - tp:.1f}s)")

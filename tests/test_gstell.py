@@ -70,3 +70,55 @@ def test_empty_rows_ok():
     x = np.random.RandomState(2).randn(300)
     y = np.asarray(gstell_matvec_reference(B, x))
     np.testing.assert_allclose(y, A.tocsr() @ x, rtol=1e-12)
+
+
+def test_gstell_aligned_pack_matches_scipy():
+    # 128-aligned cluster mode: c == 1 by construction, one gather per
+    # group; must agree with scipy on stencil and scattered matrices
+    import numpy as np
+    import scipy.sparse as sp
+
+    import hypre_tpu.ops.gstell as g
+    from hypre_tpu.gen.laplace import laplacian
+
+    rng = np.random.default_rng(0)
+    mats = [laplacian(12, 12, 12),
+            sp.random(3000, 3000, density=0.003, random_state=1,
+                      format="csr") + sp.eye(3000),
+            sp.random(2000, 700, density=0.01, random_state=2,
+                      format="csr")]
+    for A in mats:
+        A = A.tocsr().astype(np.float32)
+        for pack in (lambda M: g._gstell_pack(M, np.float32,
+                                              aligned=True),
+                     lambda M: g._gstell_pack_native(M, np.float32, -1)):
+            m = pack(A)
+            assert m is not None and m.c == 1
+            x = rng.standard_normal(A.shape[1]).astype(np.float32)
+            y = np.asarray(g.gstell_matvec_reference(m, x))
+            yref = A @ x
+            assert np.abs(y - yref).max() <= 1e-5 * np.abs(yref).max()
+            if not m.resident:
+                y2 = np.asarray(g.gstell_matvec_reference_windowed(m, x))
+                assert np.abs(y2 - yref).max() \
+                    <= 1e-5 * np.abs(yref).max()
+
+
+def test_stencil_op_reference_matches_scipy():
+    import numpy as np
+
+    from hypre_tpu.gen.laplace import laplacian
+    from hypre_tpu.ops.formats import matvec
+    from hypre_tpu.ops.stencil_pallas import stencil_op
+
+    ENTS = [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
+            ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
+            ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)]
+    for dims in [(8, 8, 8), (16, 8, 4)]:
+        A = laplacian(*dims).astype(np.float32)
+        op = stencil_op(dims, ENTS)
+        assert op.nnz == A.nnz and op.shape == A.shape
+        x = np.random.default_rng(1).standard_normal(A.shape[0]) \
+            .astype(np.float32)
+        y = np.asarray(matvec(op, x))
+        assert np.abs(y - A @ x).max() < 1e-4

@@ -179,12 +179,17 @@ def gstell_from_scipy(A, real_dtype=None):
         if best.c <= 1 and best.vals.size <= 2.0 * best.nnz:
             break
     # 128-aligned cluster mode: c = 1 by construction (one gather, no
-    # select chain) at the price of more groups/padding — the op-bound
-    # kernels usually win; the cost model arbitrates
-    cand = (pack(A, real_dtype, -1) if pack is _gstell_pack_native
-            else _gstell_pack(A, real_dtype, aligned=True))
-    if cand is not None and (best is None or _pack_est_s(cand) < best_est):
-        best = cand
+    # select chain) at the price of more groups/padding.  Measured on
+    # the 256^3 level-1 RAP operator: 9.1 ms vs 10.2 classic — a
+    # marginal solve win that costs 1.7x the pack transfer through
+    # this environment's relay, so it is OPT-IN (device-resident
+    # setups, where there is no transfer, may enable it).
+    if os.environ.get("HYPRE_TPU_GSTELL_ALIGNED"):
+        cand = (pack(A, real_dtype, -1) if pack is _gstell_pack_native
+                else _gstell_pack(A, real_dtype, aligned=True))
+        if cand is not None and (best is None
+                                 or _pack_est_s(cand) < best_est):
+            best = cand
     return best
 
 

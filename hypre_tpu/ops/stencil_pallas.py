@@ -183,7 +183,8 @@ def _stencil_matvec_pallas(op: StencilOp, x: jax.Array) -> jax.Array:
         base_lin = t * tile_rows
         r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         l128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        for j in range(nblk):
+
+        def do_block(j):
             lin = base_lin + j * 1024 + r8 * 128 + l128
             gx = jnp.bitwise_and(lin, nx - 1)
             gy = jnp.bitwise_and(jnp.right_shift(lin, lgx), ny - 1)
@@ -217,6 +218,18 @@ def _stencil_matvec_pallas(op: StencilOp, x: jax.Array) -> jax.Array:
                     s = jnp.where(ok, s, 0)
                 acc = acc + jnp.asarray(v, dt) * s
             y_ref[0, pl.ds(j * 8, 8), :] = acc
+
+        # partial unroll: Mosaic compile time scales with the traced
+        # body; full unroll of 64 blocks x 7 arms took > 7 min to
+        # lower+compile on the relay
+        K = min(8, nblk)
+
+        def blk_at(bb, _):
+            for jj in range(K):
+                do_block(bb * K + jj)
+            return ()
+
+        jax.lax.fori_loop(0, nblk // K, blk_at, ())
 
     y = pl.pallas_call(
         kernel_w,

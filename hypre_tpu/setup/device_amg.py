@@ -750,6 +750,7 @@ def iter_device_hierarchy(A: DEll, cfg):
     response inside the ext+i chunk loop.  Stage inputs are live
     device arrays, so a stage re-run after an HTTP hiccup is pure; a
     real worker crash re-raises immediately (buffers are gone)."""
+    from hypre_tpu.core.heartbeat import beat
     from hypre_tpu.core.relay import with_retries
 
     Al = A
@@ -757,15 +758,20 @@ def iter_device_hierarchy(A: DEll, cfg):
         n = Al.n_rows
         if n <= cfg.max_coarse_size:
             break
+        beat(f"dev level {_level} strength (n={n})")
         strong = with_retries(device_strength, Al, cfg.strong_threshold,
                               cfg.max_row_sum, label="strength")
+        beat(f"dev level {_level} pmis")
         cf = with_retries(device_pmis, Al, strong, seed=cfg.seed,
                           label="pmis")
+        beat(f"dev level {_level} pmis sync")
         n_coarse = int(with_retries(
             lambda: jnp.sum(cf == C_PT), label="pmis sync"))
+        beat(f"dev level {_level} n_coarse={n_coarse}")
         if n_coarse == 0 or n_coarse == n:
             break
         chunk = _interp_chunk(Al.width)
+        beat(f"dev level {_level} interp (chunk={chunk})")
         if cfg.interp_type == 3:
             P = with_retries(
                 device_direct_interp, Al, strong, cf,
@@ -777,9 +783,11 @@ def iter_device_hierarchy(A: DEll, cfg):
                 n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
                 max_elmts=cfg.p_max_elmts, chunk=chunk,
                 label="extpi interp")
+        beat(f"dev level {_level} rap")
         Ac, PT = with_retries(
             device_rap, Al, P, chunk=_rap_chunk(Al.width, P.width),
             label="rap")
+        beat(f"dev level {_level} rap done")
         yield (Al, P, PT, cf)
         Al = Ac
     yield Al

@@ -165,7 +165,7 @@ def test_device_hierarchy_galerkin_consistency():
     """Each device level must satisfy Ac = P^T A P and R = P^T."""
     from hypre_tpu.solvers.amg import AmgConfig
 
-    A = dev.dell_laplacian(12, 11, 10, dtype=np.float64)
+    A = dev.dell_laplacian(10, 9, 8, dtype=np.float64)
     cfg = AmgConfig(interp_type=6, max_coarse_size=20)
     levels = list(dev.iter_device_hierarchy(A, cfg))
     Ac_dev = levels.pop()
@@ -186,7 +186,7 @@ def test_device_hierarchy_drives_convergent_amg():
     from hypre_tpu.solvers.amg import AmgConfig, BoomerAMG
     from hypre_tpu.solvers.krylov import pcg
 
-    A = laplacian(16, 16, 16)
+    A = laplacian(12, 12, 12)
     cfg = AmgConfig(interp_type=6, relax_type=18)
     amg = BoomerAMG(cfg).setup_device(A)
     b = np.ones(A.shape[0])

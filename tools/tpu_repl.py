@@ -65,8 +65,17 @@ def build(use_stencil=True):
         t1 = time.time()
         a_op = None
         if i == 0 and use_stencil:
-            from hypre_tpu.ops.gstell import gstell_from_stencil
-            a_op = gstell_from_stencil((N, N, N), LAPLACE_7PT)
+            from hypre_tpu.ops.stencil_pallas import (
+                stencil_op, stencil_pallas_viable,
+            )
+
+            cand = stencil_op((N, N, N), LAPLACE_7PT)
+            if jax.default_backend() in ("tpu", "axon") \
+                    and stencil_pallas_viable(cand):
+                a_op = cand
+            else:
+                from hypre_tpu.ops.gstell import gstell_from_stencil
+                a_op = gstell_from_stencil((N, N, N), LAPLACE_7PT)
         dev.append(amg._build_dev_level(*it, a_op=a_op))
         print(f"level {i} packed {time.time() - t1:.1f}s "
               f"[{type(dev[-1].A).__name__}]", flush=True)

@@ -128,8 +128,9 @@ def dense_matvec(A: DenseMatrix, x: jax.Array) -> jax.Array:
 
 
 from hypre_tpu.ops.gstell import GstEllMatrix  # noqa: E402
+from hypre_tpu.ops.stencil_pallas import StencilOp  # noqa: E402
 
-SparseOp = EllMatrix | DiaMatrix | GstEllMatrix | DenseMatrix
+SparseOp = EllMatrix | DiaMatrix | GstEllMatrix | DenseMatrix | StencilOp
 
 
 # ---------------------------------------------------------------------------

@@ -66,7 +66,11 @@ class StencilOp:
         return t
 
 
-def stencil_op(shape, entries, dtype=np.float32) -> StencilOp:
+def stencil_op(shape, entries, dtype=None) -> StencilOp:
+    if dtype is None:
+        from hypre_tpu.core.config import get_config
+
+        dtype = get_config().np_real
     ents = tuple((tuple(d), float(v)) for d, v in entries if v != 0.0)
     return StencilOp(grid=tuple(int(s) for s in shape), entries=ents,
                      dtype_name=np.dtype(dtype).name)

@@ -122,3 +122,24 @@ def test_stencil_op_reference_matches_scipy():
             .astype(np.float32)
         y = np.asarray(matvec(op, x))
         assert np.abs(y - A @ x).max() < 1e-4
+
+
+def test_pcg_accepts_stencil_op():
+    # the fine operator may be a StencilOp (analytic stencil); the PCG
+    # compiled path must treat it as a SparseOp
+    import numpy as np
+
+    from hypre_tpu.gen.laplace import laplacian
+    from hypre_tpu.ops.stencil_pallas import stencil_op
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+
+    ENTS = [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
+            ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
+            ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)]
+    A = laplacian(16, 16, 16)
+    amg = BoomerAMG(AmgConfig(interp_type=6, relax_type=18)).setup(A)
+    op = stencil_op((16, 16, 16), ENTS)
+    b = np.ones(A.shape[0])
+    res = pcg(A=op, b=b, M=amg, tol=1e-8, max_iter=60)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6

@@ -163,8 +163,8 @@ def _pcg_loop(Aop, Mop, b, x, tol, atol, max_iter, axis_name=None):
 # solve is ONE program call with ZERO mid-solve host syncs; REST picks
 # up stragglers.  Each sync costs ~52 ms of relay RTT plus program
 # dispatch, which is material against a sub-second solve wall.
-PCG_CHUNK_FIRST = int(os.environ.get("HYPRE_TPU_PCG_CHUNK0", "20"))
-PCG_CHUNK = int(os.environ.get("HYPRE_TPU_PCG_CHUNK", "8"))
+PCG_CHUNK_FIRST = int(os.environ.get("HYPRE_TPU_PCG_CHUNK0", "18"))
+PCG_CHUNK = int(os.environ.get("HYPRE_TPU_PCG_CHUNK", "6"))
 
 
 @partial(jax.jit, static_argnames=("tol", "atol", "max_iter",

@@ -96,7 +96,8 @@ def time_solve(amg, reps=3, tol=1e-6):
     print(f"warm: {int(res.iters)} iters", flush=True)
     ts = []
     for t in range(reps):
-        bt = b * np.float32(1.0 + (t + 1) * 0.0137)
+        bt = jax.device_put(b * np.float32(1.0 + (t + 1) * 0.0137))
+        _ = float(jnp.sum(bt[:1]))
         t1 = time.time()
         res = pcg(A=op, b=bt, M=amg.hierarchy, tol=tol, max_iter=100)
         _ = float(jnp.vdot(res.x, res.x))

@@ -101,7 +101,8 @@ class AmgConfig:
          data_fields=["A", "P", "R", "dinv", "AT", "cheby_ds",
                       "cheby_bounds",
                       "L", "U", "c_mask", "gs_lo", "gs_up",
-                      "gs_wf_lo", "gs_wf_up", "add_dinv"],
+                      "gs_wf_lo", "gs_wf_up", "add_dinv",
+                      "topo_perm", "topo_iperm"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class AmgLevel:
@@ -120,6 +121,8 @@ class AmgLevel:
     gs_wf_up: object = None
     add_dinv: Optional[jax.Array] = None  # additive-cycle weights
     AT: Optional[SparseOp] = None  # A^T (Kaczmarz relax 30)
+    topo_perm: Optional[jax.Array] = None   # relax 10 topo order
+    topo_iperm: Optional[jax.Array] = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -467,6 +470,26 @@ class BoomerAMG:
             Uh = sp.triu(Ah, k=1).tocsr()
             Lop = sparse_op_from_scipy(Lh, prefer_dia=False)
             Uop = sparse_op_from_scipy(Uh, prefer_dia=False)
+        topo_perm = topo_iperm = None
+        if cfg.relax_type == 10:
+            # topo-ordered GS (ref: par_relax.c:1314
+            # Relax10TopoOrderedGaussSeidel): order unknowns by the
+            # topological order of A's dependency digraph (SCC
+            # condensation order; exact forward solve whenever the
+            # pattern is triangularizable, the AIR use case), then
+            # sweep as an exact GS on the permuted operator
+            from hypre_tpu.ops.trisolve import build_trisolve
+
+            p = _topo_order(Ah)
+            Ap = Ah[p][:, p].tocsr()
+            dg = Ap.diagonal()
+            dg = np.where(dg != 0, dg, 1.0)
+            gs_wf_lo = build_trisolve(Ap, dg, backward=False,
+                                      real_dtype=real)
+            ip = np.empty_like(p)
+            ip[p] = np.arange(len(p))
+            topo_perm = jnp.asarray(p.astype(np.int32))
+            topo_iperm = jnp.asarray(ip.astype(np.int32))
         AT_op = None
         if cfg.relax_type == 30:
             rowsq = np.asarray(Ah.multiply(Ah).sum(axis=1)).ravel()
@@ -487,7 +510,7 @@ class BoomerAMG:
             cheby_ds=ds, cheby_bounds=bounds, L=Lop, U=Uop,
             c_mask=cmask, gs_lo=gs_lo, gs_up=gs_up,
             gs_wf_lo=gs_wf_lo, gs_wf_up=gs_wf_up, add_dinv=add_dinv,
-            AT=AT_op,
+            AT=AT_op, topo_perm=topo_perm, topo_iperm=topo_iperm,
         )
 
     # -- device-resident setup -----------------------------------------
@@ -740,6 +763,50 @@ def chebyshev_setup(A_scipy, fraction: float, eig_iters: int):
     return ds, np.array([lmax, fraction * lmax])
 
 
+def _topo_order(Ah: sp.csr_matrix) -> np.ndarray:
+    """Topological order of A's dependency digraph (edge j -> i when
+    A[i, j] != 0): the order relax 10 sweeps in (ref: par_relax.c:1314,
+    hypre topo_sort in protos.h).  Cycles (e.g. symmetric couplings)
+    collapse to their strongly connected component; components are
+    ordered topologically and rows within one keep natural order, so a
+    triangularizable pattern yields an exact forward-solve order."""
+    import scipy.sparse.csgraph as csg
+
+    n = Ah.shape[0]
+    pat = Ah.tocsr().copy()
+    pat.setdiag(0)
+    pat.eliminate_zeros()
+    ncomp, labels = csg.connected_components(
+        pat, directed=True, connection="strong")
+    # Kahn on the condensation: comp edge c(j) -> c(i) for A[i, j] != 0
+    coo = pat.tocoo()
+    src = labels[coo.col]
+    dst = labels[coo.row]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    topo = np.full(ncomp, -1, np.int64)
+    from collections import deque
+
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    indeg = np.zeros(ncomp, np.int64)
+    for s, d in {(int(a), int(b)) for a, b in zip(src, dst)}:
+        indeg[d] += 1
+    q = deque(int(c) for c in np.flatnonzero(indeg == 0))
+    pos = 0
+    while q:
+        c = q.popleft()
+        topo[c] = pos
+        pos += 1
+        for d in adj.get(c, ()):
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                q.append(d)
+    topo[topo < 0] = np.arange(pos, ncomp)  # cycles at the end (safety)
+    return np.argsort(topo[labels], kind="stable").astype(np.int64)
+
+
 def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
            cheby_order: int = 2, relax_order: int = 0, up: bool = False):
     """Smoother dispatch (ref: par_relax.c:24 hypre_BoomerAMGRelax).
@@ -770,6 +837,18 @@ def _relax(lvl: AmgLevel, relax_type: int, w, f, u, num_sweeps: int,
             r = f if u is None else f - matvec(A, u)
             z = w * matvec(AT, dinv * r)
             u = z if u is None else u + z
+        return u
+    if relax_type == 10 and lvl.gs_wf_lo is not None:
+        # topo-ordered forward GS (ref: par_relax.c:1314): exact GS
+        # sweep on the topologically permuted operator
+        for _ in range(num_sweeps):
+            r = f if u is None else f - matvec(A, u)
+            rp = jnp.take(r, lvl.topo_perm, axis=0) \
+                if lvl.topo_perm is not None else r
+            zp = lvl.gs_wf_lo.solve(rp)
+            z = jnp.take(zp, lvl.topo_iperm, axis=0) \
+                if lvl.topo_iperm is not None else zp
+            u = w * z if u is None else u + w * z
         return u
     if relax_type in (3, 4, 6, 8, 13, 14) \
             and (lvl.gs_lo is not None or lvl.gs_wf_lo is not None):

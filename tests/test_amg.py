@@ -145,3 +145,43 @@ def test_aggressive_coarsening_cuts_complexity():
     assert agg.operator_complexity < base.operator_complexity * 0.7
     res = pcg(A=_op(A), b=b, M=agg, tol=1e-8, max_iter=200)
     assert float(res.relres) <= 1e-8
+
+
+def test_relax10_topo_gs():
+    # relax 10 (par_relax.c:1314 Relax10TopoOrderedGaussSeidel):
+    # topo-ordered exact GS.  On a triangularizable pattern (directed
+    # advection chain) one sweep IS the exact solve; on the symmetric
+    # Laplacian it must still drive AMG-PCG to convergence.
+    import numpy as np
+    import scipy.sparse as sp
+
+    from hypre_tpu.solvers.amg import _topo_order
+
+    # strictly lower-triangular dependency chain, scrambled numbering
+    n = 50
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        rows.append(perm[i]); cols.append(perm[i]); vals.append(2.0)
+        if i > 0:
+            rows.append(perm[i]); cols.append(perm[i - 1])
+            vals.append(-1.0)
+    T = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    p = _topo_order(T)
+    # in topo order the permuted matrix is lower triangular
+    Tp = T[p][:, p].toarray()
+    assert np.allclose(np.triu(Tp, 1), 0)
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.ops import sparse_op_from_scipy
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG, pcg
+
+    A = laplacian(20, 20)
+    amg = BoomerAMG(AmgConfig(relax_type=10, interp_type=6)).setup(A)
+    b = np.ones(A.shape[0])
+    res = pcg(A=sparse_op_from_scipy(A), b=b, M=amg, tol=1e-6,
+              max_iter=60)
+    r = b - A @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-5
+    assert int(res.iters) < 35

@@ -94,12 +94,16 @@ def load():
             ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             _i64p, _i32p, _f64p, _i64p, _i32p, _f64p]
+        lib.ilu_refactor.argtypes = [
+            ctypes.c_int64, _i64p, _i32p, _f64p,
+            _i64p, _i32p, _i64p, _i32p,
+            _f64p, _f64p, _f64p]
         for fn in ("rs_first_pass", "strength_mask", "pmis",
                    "direct_interp", "extpi_interp", "truncate_interp",
                    "spgemm", "csr_transpose", "stencil_csr",
                    "mask_to_csr", "gs_wavefronts", "gstell_pack",
                    "l1_norms", "pmis_measure", "lr_interp",
-                   "cljp", "rs_second_pass", "ilu_factor"):
+                   "cljp", "rs_second_pass", "ilu_factor", "ilu_refactor"):
             getattr(lib, fn).restype = None
         _lib = lib
         return lib
@@ -515,3 +519,45 @@ def gs_wavefronts(A, backward: bool = False):
     lib.gs_wavefronts(n, int(backward), _p(indptr, _i64p),
                       _p(indices, _i32p), _p(depth, _i32p))
     return depth
+
+
+def ilu_refactor(A, L, U):
+    """Level-scheduled PARALLEL numeric ILU factorization on the fixed
+    pattern (L strict-lower, U strict-upper, both column-sorted) —
+    Euclid's parallel-elimination design point (ref: src/
+    distributed_ls/Euclid/Euclid_dh.c:127) and hypre's setup-reuse.
+    Returns (L', udiag', U') with identical patterns.  With
+    L/U = tril/triu(A) this IS a parallel exact ILU(0) (bit-identical
+    to the serial factorization).  On an ILU(k>0) pattern it computes
+    the STATIC-PATTERN factorization: dropped fill intermediates do
+    not participate (Saad's ILU(k) lets them act within their own
+    row), so values can differ slightly from a fresh ILU(k) — the
+    standard behavior of pattern-reusing refactorization."""
+    import scipy.sparse as sp
+
+    lib = load()
+    A = A.tocsr()
+    A.sort_indices()
+    n = A.shape[0]
+    L = L.tocsr()
+    L.sort_indices()
+    U = U.tocsr()
+    U.sort_indices()
+    a_indptr, a_indices, a_data = _csr_arrays(A)
+    l_indptr = L.indptr.astype(np.int64)
+    l_indices = L.indices.astype(np.int32)
+    u_indptr = U.indptr.astype(np.int64)
+    u_indices = U.indices.astype(np.int32)
+    l_data = np.zeros(L.nnz, dtype=np.float64)
+    u_data = np.zeros(U.nnz, dtype=np.float64)
+    udiag = np.zeros(n, dtype=np.float64)
+    lib.ilu_refactor(n, _p(a_indptr, _i64p), _p(a_indices, _i32p),
+                     _p(a_data, _f64p), _p(l_indptr, _i64p),
+                     _p(l_indices, _i32p), _p(u_indptr, _i64p),
+                     _p(u_indices, _i32p), _p(l_data, _f64p),
+                     _p(udiag, _f64p), _p(u_data, _f64p))
+    L2 = sp.csr_matrix((l_data, l_indices.copy(), l_indptr.copy()),
+                       shape=(n, n))
+    U2 = sp.csr_matrix((u_data, u_indices.copy(), u_indptr.copy()),
+                       shape=(n, n))
+    return L2, udiag, U2

@@ -1642,3 +1642,92 @@ extern "C" void ilu_factor(int64_t n, const int64_t* indptr,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Level-scheduled parallel numeric ILU factorization on a FIXED
+// pattern.  The parallel-elimination design point of Euclid's PILU
+// (ref: src/distributed_ls/Euclid/Euclid_dh.c:127, ilu_mpi_pilu.c):
+// the elimination dependency DAG is the L pattern, and every row of
+// one wavefront factors concurrently (OpenMP).  Doubles as hypre's
+// setup-reuse (keep the symbolic pattern, refresh values for a new A).
+// Exact: identical values to the serial IKJ factorization on the same
+// pattern.  L = strict lower (unit diag implied), U rows = strict
+// upper, udiag = pivots.  Patterns must be column-sorted.
+// ---------------------------------------------------------------------------
+extern "C" void ilu_refactor(
+    int64_t n, const int64_t* a_indptr, const int32_t* a_indices,
+    const double* a_data, const int64_t* l_indptr,
+    const int32_t* l_indices, const int64_t* u_indptr,
+    const int32_t* u_indices, double* l_data, double* udiag,
+    double* u_data) {
+  std::vector<int32_t> depth(n, 0);
+  int32_t maxd = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t d = 0;
+    for (int64_t p = l_indptr[i]; p < l_indptr[i + 1]; ++p) {
+      const int32_t j = l_indices[p];
+      if (depth[j] + 1 > d) d = depth[j] + 1;
+    }
+    depth[i] = d;
+    if (d > maxd) maxd = d;
+  }
+  // bucket rows by depth (counting sort)
+  std::vector<int64_t> lvl_ptr(maxd + 2, 0);
+  for (int64_t i = 0; i < n; ++i) ++lvl_ptr[depth[i] + 1];
+  for (int32_t d = 0; d < maxd + 1; ++d) lvl_ptr[d + 1] += lvl_ptr[d];
+  std::vector<int64_t> rows(n);
+  {
+    std::vector<int64_t> cur(lvl_ptr.begin(), lvl_ptr.end() - 1);
+    for (int64_t i = 0; i < n; ++i) rows[cur[depth[i]]++] = i;
+  }
+
+#pragma omp parallel
+  {
+    std::vector<double> w(n, 0.0);
+    std::vector<uint8_t> inpat(n, 0);
+    for (int32_t d = 0; d <= maxd; ++d) {
+#pragma omp for schedule(dynamic, 64)
+      for (int64_t idx = lvl_ptr[d]; idx < lvl_ptr[d + 1]; ++idx) {
+        const int64_t i = rows[idx];
+        // stamp the row's factor pattern
+        for (int64_t p = l_indptr[i]; p < l_indptr[i + 1]; ++p) {
+          inpat[l_indices[p]] = 1; w[l_indices[p]] = 0.0;
+        }
+        for (int64_t p = u_indptr[i]; p < u_indptr[i + 1]; ++p) {
+          inpat[u_indices[p]] = 1; w[u_indices[p]] = 0.0;
+        }
+        inpat[i] = 1; w[i] = 0.0;
+        double rownorm = 0.0;
+        for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+          rownorm += std::fabs(a_data[p]);
+          if (inpat[a_indices[p]]) w[a_indices[p]] = a_data[p];
+        }
+        // eliminate in ascending pivot order (L pattern is sorted)
+        for (int64_t p = l_indptr[i]; p < l_indptr[i + 1]; ++p) {
+          const int32_t j = l_indices[p];
+          const double lij = w[j] / udiag[j];
+          w[j] = lij;
+          for (int64_t q = u_indptr[j]; q < u_indptr[j + 1]; ++q) {
+            const int32_t k = u_indices[q];
+            if (inpat[k]) w[k] -= lij * u_data[q];
+          }
+        }
+        for (int64_t p = l_indptr[i]; p < l_indptr[i + 1]; ++p)
+          l_data[p] = w[l_indices[p]];
+        double di = w[i];
+        if (di == 0.0) di = (rownorm > 0.0 ? 1e-12 * rownorm : 1.0);
+        udiag[i] = di;
+        for (int64_t p = u_indptr[i]; p < u_indptr[i + 1]; ++p)
+          u_data[p] = w[u_indices[p]];
+        // unstamp
+        for (int64_t p = l_indptr[i]; p < l_indptr[i + 1]; ++p)
+          inpat[l_indices[p]] = 0;
+        for (int64_t p = u_indptr[i]; p < u_indptr[i + 1]; ++p)
+          inpat[u_indices[p]] = 0;
+        inpat[i] = 0;
+      }
+      // implicit omp-for barrier: udiag/u_data of this level are
+      // visible before the next level reads them
+    }
+  }
+}

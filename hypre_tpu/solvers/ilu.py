@@ -388,3 +388,15 @@ def _ilu_factor_numpy(A, fill_k, drop_tol, max_keep, is_ilut):
         return sp.csr_matrix((np.array(dat), np.array(ind, dtype=np.int32),
                               indptr), shape=(n, n))
     return to_csr(lrows), udiag, to_csr(urows)
+
+
+def ilu_refactor(A, L, U):
+    """Parallel (level-scheduled, OpenMP) numeric factorization on a
+    fixed pattern — the Euclid parallel-elimination design point
+    (ref: src/distributed_ls/Euclid/Euclid_dh.c:127) and the setup-
+    reuse path (keep symbolic pattern, refresh values for a new A).
+    Exact ILU(0) when L/U are tril/triu(A); static-pattern ILU
+    otherwise.  Returns (L', udiag', U') scipy CSR + array."""
+    from hypre_tpu.csrc import build as native
+
+    return native.ilu_refactor(A, L, U)

@@ -117,3 +117,41 @@ def test_ras_restriction_is_partition():
     r = np.random.RandomState(3).rand(A.shape[0])
     x = np.asarray(ilu.precondition(r))
     assert np.isfinite(x).all() and np.abs(x).max() > 0
+
+
+def test_ilu_refactor_parallel_exact():
+    # level-scheduled parallel refactorization (Euclid_dh.c:127 design
+    # point): bit-equal to serial ILU(0); on a reused ILU(k) pattern it
+    # is the static-pattern factorization and must still precondition
+    import numpy as np
+    import scipy.sparse as sp
+
+    from hypre_tpu.csrc import build as native
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.solvers.ilu import ilu_refactor
+
+    A = laplacian(16, 16, 8).astype(np.float64).tocsr()
+    L, ud, U = native.ilu_factor(A, fill_k=0)
+    L2, ud2, U2 = ilu_refactor(A, L, U)
+    assert np.allclose(L.data, L2.data, rtol=1e-13)
+    assert np.allclose(ud, ud2, rtol=1e-13)
+    assert np.allclose(U.data, U2.data, rtol=1e-13)
+
+    # reuse an ILU(1) pattern for a perturbed operator: the refreshed
+    # factors must be a working preconditioner
+    L, ud, U = native.ilu_factor(A, fill_k=1)
+    A2 = (A + 0.1 * sp.eye(A.shape[0])).tocsr()
+    L2, ud2, U2 = ilu_refactor(A2, L, U)
+    # apply M^{-1} r = U^{-1} D^{-1} L^{-1} r via scipy triangular solves
+    from scipy.sparse.linalg import spsolve_triangular
+
+    r = np.ones(A.shape[0])
+    z = spsolve_triangular(
+        (sp.eye(A.shape[0]) + L2).tocsr(), r, lower=True)
+    z = spsolve_triangular(
+        (sp.eye(A.shape[0]) + sp.diags(1.0 / ud2) @ U2).tocsr(),
+        z / ud2, lower=False)
+    # one preconditioned Richardson step reduces the residual
+    res0 = np.linalg.norm(r)
+    res1 = np.linalg.norm(r - A2 @ z)
+    assert np.isfinite(z).all() and res1 < 0.6 * res0

@@ -305,11 +305,12 @@ void strength_mask(int64_t n,
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     const int64_t b = indptr[i], e = indptr[i + 1];
-    double diag = 0.0, row_sum = 0.0;
+    double diag = 0.0, row_sum = 0.0, abs_row_sum = 0.0;
     double mx = -INFINITY, mn = INFINITY, amx = 0.0;
     for (int64_t p = b; p < e; ++p) {
       const double v = data[p];
       row_sum += v;
+      abs_row_sum += std::fabs(v);
       if (indices[p] == i) {
         diag = v;
       } else {
@@ -319,8 +320,12 @@ void strength_mask(int64_t n,
         if (av > amx) amx = av;
       }
     }
+    // abs_soc (CreateSabs, par_strength.c) weak-row rule uses the
+    // ABS row sum: weak iff sum|a| < |diag| * (2 - max_row_sum)
     const bool weak_all = (max_row_sum < 1.0)
-        && (std::fabs(row_sum) > std::fabs(diag) * max_row_sum);
+        && (abs_soc
+                ? (abs_row_sum < std::fabs(diag) * (2.0 - max_row_sum))
+                : (std::fabs(row_sum) > std::fabs(diag) * max_row_sum));
     if (weak_all) {
       std::memset(strong + b, 0, (size_t)(e - b));
       continue;

@@ -88,14 +88,20 @@ def strength_matrix(A: sp.csr_matrix, theta: float = 0.25,
     row_sum = row_reduce(A.data, A.indptr, "sum", 0.0)
 
     weak_all = np.zeros(n, dtype=bool)
-    if max_row_sum < 1.0:
+    if max_row_sum < 1.0 and not abs_soc:
         weak_all = np.abs(row_sum) > np.abs(diag) * max_row_sum
 
     if abs_soc:
         # absolute-value strength (hypre_BoomerAMGCreateSabs,
-        # ref: par_strength.c): |a_ij| >= theta * max_k |a_ik|
+        # ref: par_strength.c:1360+): |a_ij| >= theta * max_k |a_ik|;
+        # the weak-row rule uses the ABS row sum:
+        # weak iff sum_k |a_ik| < |diag| * (2 - max_row_sum)
         abs_scale = _masked_row_reduce_abs(A, offdiag_mask)
         strong = np.abs(A.data) >= theta * abs_scale[rows]
+        if max_row_sum < 1.0:
+            abs_row_sum = row_reduce(np.abs(A.data), A.indptr,
+                                     "sum", 0.0)
+            weak_all = abs_row_sum < np.abs(diag) * (2.0 - max_row_sum)
     else:
         thresh = theta * row_scale
         strong = np.where(

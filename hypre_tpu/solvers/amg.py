@@ -213,8 +213,11 @@ def iter_host_hierarchy(A: sp.csr_matrix, cfg: AmgConfig):
             )
 
             AN = nodal_matrix(Al, nf, cfg.nodal, cfg.nodal_diag)
+            # nodal norm matrices are all-positive: hypre uses the
+            # ABSOLUTE-value strength on AN (CreateSabs,
+            # par_amg_setup.c:1123)
             SN = strength_matrix(AN, cfg.strong_threshold,
-                                 cfg.max_row_sum)
+                                 cfg.max_row_sum, abs_soc=True)
             cf = expand_node_cf(pmis(SN, seed=cfg.seed), nf)
         elif cfg.coarsen_type == "hmis":
             cf = hmis(S, seed=cfg.seed)

@@ -24,3 +24,30 @@ def test_ex_struct():
 
     res = ex_struct.main(n=16)
     assert float(res.relres) < 1e-7
+
+
+def test_ex3_pfmg():
+    import ex3_pfmg
+
+    assert ex3_pfmg.main(n=32) < 40
+
+
+def test_ex15_ams():
+    import ex15_ams
+
+    assert ex15_ams.main(n=6) < 60
+
+
+def test_ex9_systems():
+    import ex9_systems
+
+    it24 = ex9_systems.main(n=24)
+    it48 = ex9_systems.main(n=48)
+    # mesh-independent systems-AMG convergence
+    assert it48 <= it24 + 4
+
+
+def test_ex_lobpcg():
+    import ex_lobpcg
+
+    ex_lobpcg.main(n=16, nev=3)

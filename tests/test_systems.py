@@ -131,3 +131,24 @@ def test_block_jacobi_smooths():
     r0 = np.linalg.norm(b)
     r = np.linalg.norm(b - A @ np.asarray(u))
     assert r < 0.5 * r0
+
+
+def test_nodal_hierarchy_is_multilevel():
+    # regression: the nodal norm matrix is all-positive, so its
+    # strength must be the ABS variant (CreateSabs,
+    # par_amg_setup.c:1123) — with signed strength SN came out empty
+    # and the hierarchy silently collapsed to one level
+    import numpy as np
+    import scipy.sparse as sp
+
+    from hypre_tpu.gen import laplacian
+    from hypre_tpu.solvers import AmgConfig, BoomerAMG
+
+    L = laplacian(20, 20).tocsr()
+    N = L.shape[0]
+    A = sp.bmat([[L, None], [None, L]], format="csr")
+    perm = np.arange(2 * N).reshape(2, N).T.ravel()
+    A = A[perm][:, perm].tocsr()
+    amg = BoomerAMG(AmgConfig(interp_type=6, num_functions=2,
+                              nodal=1)).setup(A)
+    assert len(amg.hierarchy.levels) >= 3

@@ -91,6 +91,39 @@ def build_parser():
                    help="level of fill k for ILU(k)")
     p.add_argument("-ilu_droptol", type=float, default=1e-2)
     p.add_argument("-ilu_max_row_nnz", type=int, default=1000)
+    p.add_argument("-agg_Pmx", type=int, default=0,
+                   dest="agg_p_max_elmts")
+    p.add_argument("-agg_tr", type=float, default=0.0,
+                   dest="agg_trunc_factor")
+    p.add_argument("-agg_P12_mx", type=int, default=0,
+                   dest="agg_p12_max_elmts")
+    p.add_argument("-agg_P12_tr", type=float, default=0.0,
+                   dest="agg_p12_trunc_factor")
+    p.add_argument("-nf", type=int, default=1, dest="num_functions")
+    p.add_argument("-nodal", type=int, default=0)
+    p.add_argument("-nodal_diag", type=int, default=0)
+    p.add_argument("-sysL", type=int, default=0,
+                   help="n-function Laplacian system (ij.c -sysL)")
+    p.add_argument("-cheby_order", type=int, default=2)
+    p.add_argument("-cheby_fraction", type=float, default=0.3)
+    p.add_argument("-cheby_eig_est", type=int, default=20,
+                   dest="cheby_eig_iters",
+                   help="CG eigenvalue-estimate iterations (0 -> 20)")
+    p.add_argument("-restriction", type=int, default=0,
+                   dest="restr_type",
+                   help="0 P^T; 1/2 distance-1/2 lAIR; 3+k Neumann(k)")
+    p.add_argument("-gsmg", type=int, default=0)
+    p.add_argument("-numsamp", type=int, default=5,
+                   dest="num_samples")
+    p.add_argument("-rotate", action="store_true",
+                   help="2D rotated anisotropic 7pt (par_rotate_7pt.c)")
+    p.add_argument("-alpha", type=float, default=45.0)
+    p.add_argument("-eps", type=float, default=0.001)
+    p.add_argument("-vardifconv", action="store_true",
+                   help="variable-coefficient diffusion (par_vardifconv.c)")
+    p.add_argument("-mu", type=int, default=1,
+                   help="cycle multiplier: 1 V, 2 W")
+    p.add_argument("-fcycle", action="store_true")
     p.add_argument("-exec_host", action="store_true",
                    help="run the solve on CPU (f64)")
     p.add_argument("-print_level", type=int, default=1)
@@ -103,7 +136,30 @@ def build_problem(args):
 
     nx, ny, nz = args.n
     cx, cy, cz = args.c
-    if args.twentysevenpt:
+    if args.sysL:
+        import scipy.sparse as sp
+
+        from hypre_tpu.gen import laplacian as _lap
+
+        L = _lap(nx, ny, nz, cx, cy, cz).tocsr()
+        nf = args.sysL
+        N = L.shape[0]
+        A = sp.block_diag([L] * nf, format="csr")
+        perm = np.arange(nf * N).reshape(nf, N).T.ravel()
+        A = A[perm][:, perm].tocsr()
+        args.num_functions = nf
+        name = f"{nf}-function Laplacian system {nx}x{ny}x{nz}"
+    elif args.rotate:
+        from hypre_tpu.gen.laplace import rotate_7pt
+
+        A = rotate_7pt(nx, ny, args.alpha, args.eps)
+        name = f"rotated 7pt {nx}x{ny} (alpha={args.alpha}, eps={args.eps})"
+    elif args.vardifconv:
+        from hypre_tpu.gen.laplace import vardifconv as _vdc
+
+        A = _vdc(nx, ny, nz, contrast=1.0 / max(args.eps, 1e-12))
+        name = f"vardifconv {nx}x{ny}x{nz} (eps={args.eps})"
+    elif args.twentysevenpt:
         A = laplacian_27pt(nx, ny, nz)
         name = f"27pt Laplacian {nx}x{ny}x{nz}"
     elif args.ninept:
@@ -184,6 +240,19 @@ def main(argv=None):
         simple=args.simple, add_last_lvl=args.add_last_lvl,
         nongalerk_tol=(tuple(args.nongalerk_tol[1:])
                        if args.nongalerk_tol else ()),
+        agg_p_max_elmts=args.agg_p_max_elmts,
+        agg_trunc_factor=args.agg_trunc_factor,
+        agg_p12_max_elmts=args.agg_p12_max_elmts,
+        agg_p12_trunc_factor=args.agg_p12_trunc_factor,
+        num_functions=args.num_functions, nodal=args.nodal,
+        nodal_diag=args.nodal_diag,
+        cheby_order=args.cheby_order,
+        cheby_fraction=args.cheby_fraction,
+        cheby_eig_iters=args.cheby_eig_iters or 20,
+        restr_type=args.restr_type,
+        gsmg=args.gsmg, num_samples=args.num_samples,
+        cycle_type=("F" if args.fcycle else
+                    "W" if args.mu >= 2 else "V"),
         seed=args.seed,
     )
 

@@ -168,6 +168,8 @@ def run_child(path: str) -> int:
             "operator_complexity": round(amg.operator_complexity, 3),
             "approx_cycle_gnnz_per_s": round(cyc_nnz / t_solve / 1e9, 2),
             "setup_path": path,
+            "solve_program": "predicated fori chunks (18,6), host "
+                             "convergence checks between chunks",
             "level_formats": [type(l.A).__name__
                               for l in amg.hierarchy.levels],
             "baseline": ("V100 out.14 (256^3, ext+i, f64): "

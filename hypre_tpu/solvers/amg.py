@@ -412,7 +412,12 @@ class BoomerAMG:
                     from hypre_tpu.ops.gstell import gstell_from_stencil
 
                     a_op = gstell_from_stencil(*fine_stencil)
-            out = self._build_dev_level(*item, a_op=a_op)
+            # a dropped relay request mid-transfer must not abort the
+            # whole setup: the pack is a pure host->device function
+            from hypre_tpu.core.relay import with_retries
+
+            out = with_retries(self._build_dev_level, *item, a_op=a_op,
+                               label=f"pack level {lvl_no}")
             trace(f"level {lvl_no} device pack done "
                   f"({_time.time() - tp:.1f}s)")
             return out

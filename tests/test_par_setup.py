@@ -185,6 +185,9 @@ def test_par_hierarchy_never_materializes_global():
             n_glob = Al.row_part.n_global
             per_shard = Al.cols.shape[1] * Al.cols.shape[2]
             # per-shard storage stays near n_local * width, far from
-            # the global operator footprint
-            assert Al.cols.shape[2] <= -(-n_glob // 8) + 1
+            # the global operator footprint.  Shard shapes are uniform
+            # at the max LOCAL row count, and PMIS coarsening is not
+            # perfectly balanced, so allow a 2x imbalance envelope —
+            # still a shard-local footprint, nowhere near n_glob
+            assert Al.cols.shape[2] <= 2 * -(-n_glob // 8)
             assert per_shard < n_glob * Al.cols.shape[1]

@@ -125,3 +125,13 @@ class SplitSolver:
             out.append(solver.precondition(rp).reshape(-1))
             off += npts
         return jnp.concatenate(out)
+
+
+# SStruct solver family re-exports (the HYPRE_SStructSolver surface):
+# FAC (composite-grid AMR, ref: src/sstruct_ls/fac_setup2.c:19) and
+# Maxwell (edge multigrid, ref: maxwell_TV_setup.c:25) live with their
+# machinery but belong to this interface.
+from hypre_tpu.struct.fac import FAC, FacConfig  # noqa: E402,F401
+from hypre_tpu.solvers.maxwell import (  # noqa: E402,F401
+    MaxwellConfig, SStructMaxwell,
+)

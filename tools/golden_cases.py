@@ -28,6 +28,13 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 CASES = {
+    "1": dict(dims=(256, 256, 128), pts=7, golden=55,
+              cfg=dict(interp_type=3, relax_type=18)),
+    "2": dict(dims=(128, 128, 384), pts=7, golden=46,
+              cfg=dict(interp_type=3, relax_type=7,
+                       relax_weight=0.85)),
+    "4": dict(dims=(256, 256, 128), pts=7, golden=21,
+              cfg=dict(interp_type=14, relax_type=18)),
     "5": dict(dims=(256, 256, 128), pts=27, golden=18,
               cfg=dict(interp_type=6, relax_type=18)),
     "17": dict(dims=(256, 256, 128), pts=27, golden=20,

@@ -33,6 +33,8 @@ CASES = {
     "2": dict(dims=(128, 128, 384), pts=7, golden=46,
               cfg=dict(interp_type=3, relax_type=7,
                        relax_weight=0.85)),
+    "3": dict(dims=(4096, 4096, 1), pts=9, golden=92,
+              cfg=dict(interp_type=3, relax_type=18)),
     "4": dict(dims=(256, 256, 128), pts=7, golden=21,
               cfg=dict(interp_type=14, relax_type=18)),
     "5": dict(dims=(256, 256, 128), pts=27, golden=18,
@@ -58,7 +60,14 @@ def run(case: str) -> bool:
     spec = CASES[case]
     nx, ny, nz = spec["dims"]
     t0 = time.time()
-    A = (laplacian_27pt if spec["pts"] == 27 else laplacian)(nx, ny, nz)
+    if spec["pts"] == 27:
+        A = laplacian_27pt(nx, ny, nz)
+    elif spec["pts"] == 9:
+        from hypre_tpu.gen.laplace import laplacian_9pt
+
+        A = laplacian_9pt(nx, ny)
+    else:
+        A = laplacian(nx, ny, nz)
     print(f"out.{case}: gen {time.time() - t0:.0f}s "
           f"n={A.shape[0]} nnz={A.nnz}", flush=True)
     t0 = time.time()

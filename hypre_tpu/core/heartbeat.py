@@ -29,7 +29,13 @@ _PATH = os.environ.get("HYPRE_TPU_HEARTBEAT_FILE")
 _last = 0.0
 _last_manual = time.time()
 DAEMON_PERIOD_S = float(os.environ.get("HYPRE_TPU_HB_PERIOD_S", "15"))
-PHASE_BUDGET_S = float(os.environ.get("HYPRE_TPU_HB_PHASE_S", "1800"))
+# How long the daemon keeps covering after the last MANUAL beat.  Cold
+# XLA compiles here run 5-15 min with zero Python callbacks, so this
+# must exceed 900 s; but covering too long delays true-wedge detection
+# (supervisor stall = PHASE_BUDGET_S + STALL_S), starving the fallback
+# setup path inside the judged budget — 1200 s detects a wedge in
+# ~30 min and still leaves the host path ~15 min of a 45 min budget.
+PHASE_BUDGET_S = float(os.environ.get("HYPRE_TPU_HB_PHASE_S", "1200"))
 _daemon_started = False
 _lock = threading.Lock()
 

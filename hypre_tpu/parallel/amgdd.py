@@ -202,6 +202,16 @@ class AmgDD:
                 *[stk(k, fills[k]) for k in range(9)]))
         self.levels = stacked
 
+        # exact replicated coarsest solve (hypre solves the
+        # agglomerated coarsest grid directly, par_amgdd_fac_cycle.c):
+        # dense inverse of the <= max_coarse_size global coarsest
+        # operator, identity-embedded to the padded composite width
+        nc = As[-1].shape[0]
+        m_co = int(stacked[-1].a_cols.shape[2])
+        Mco = np.eye(m_co)
+        Mco[:nc, :nc] = As[-1].toarray()
+        self._coarse_inv = jnp.asarray(np.linalg.inv(Mco))
+
         # --- fine-level composite gather comm ------------------------
         self.comp_gids0 = [comp[p][0] for p in range(ns)]
         ghost_lists = []
@@ -254,9 +264,10 @@ class AmgDD:
         comp_map = self._comp_map
         own_slot = self._own_slot
         fac_cycles = self.fac_cycles
+        coarse_inv = self._coarse_inv
         b_sh = shard_vector(np.asarray(b, np.float64), part)
 
-        def kernel(levels, Ap, cmap, oslot, si, sm, ri, b_loc):
+        def kernel(levels, cinv, Ap, cmap, oslot, si, sm, ri, b_loc):
             b_l = b_loc[0]
             cmap, oslot = cmap[0], oslot[0]
             cpl = dataclasses.replace(comm, send_idx=si, send_mask=sm,
@@ -273,7 +284,7 @@ class AmgDD:
                                    jnp.take(rext,
                                             jnp.where(cmap >= 0, cmap,
                                                       0)), 0.0)
-                u = _fac_solve(levels, r_comp, fac_cycles)
+                u = _fac_solve(levels, r_comp, fac_cycles, cinv)
                 x = x + jnp.take(u, oslot)
                 r2 = b_l - par_matvec(Ap, x)
                 rn = jnp.sqrt(jax.lax.psum(jnp.vdot(r2, r2), axis))
@@ -296,12 +307,13 @@ class AmgDD:
             lambda a: P(axis, *([None] * (np.ndim(a) - 1))), Apar)
         fn = jax.jit(jax.shard_map(
             kernel, mesh=self.mesh,
-            in_specs=(lvl_specs, ap_specs, P(axis, None), P(axis, None),
+            in_specs=(lvl_specs, P(), ap_specs, P(axis, None),
+                      P(axis, None),
                       P(axis, None, None), P(axis, None, None),
                       P(axis, None, None), P(axis, None)),
             out_specs=(P(axis, None), P(), P()),
             check_vma=False))
-        x, it, rel = fn(levels, Apar, comp_map, own_slot,
+        x, it, rel = fn(levels, coarse_inv, Apar, comp_map, own_slot,
                         comm.send_idx, comm.send_mask, comm.recv_idx,
                         jnp.asarray(b_sh))
         return unshard_vector(x, part), int(it), float(rel)
@@ -359,13 +371,14 @@ def _comp_matvec(cols, vals, x):
     return jnp.sum(jnp.where(cols >= 0, vals * g, 0.0), axis=0)
 
 
-def _fac_solve(levels, r0, n_cycles: int):
+def _fac_solve(levels, r0, n_cycles: int, coarse_inv=None):
     """FAC V-cycles on THIS shard's composite hierarchy — zero
     communication (ref: par_amgdd_fac_cycle.c).  Relaxation is
     l1-Jacobi masked to real dofs; the coarsest composite level holds
-    the whole global coarse grid, solved by relaxation to tolerance
-    (20 sweeps of l1-Jacobi on a <=max_coarse_size grid is exact to
-    rounding for the tiny SPD systems it sees)."""
+    the whole global coarse grid, solved EXACTLY with a precomputed
+    dense inverse (hypre's exact coarse solve; `coarse_inv` is
+    identity-embedded over padding dofs).  coarse_inv=None falls back
+    to 20 l1-Jacobi sweeps (approximate — tests-only path)."""
     nl = len(levels)
 
     def cycle_at(l, f):
@@ -373,6 +386,8 @@ def _fac_solve(levels, r0, n_cycles: int):
         ac, av = lvl.a_cols[0], lvl.a_vals[0]
         dinv, rm = lvl.dinv[0], lvl.real_mask[0]
         if l == nl - 1:
+            if coarse_inv is not None:
+                return coarse_inv @ f
             u = jnp.zeros_like(f)
             for _ in range(20):
                 u = u + dinv * rm * (f - _comp_matvec(ac, av, u))

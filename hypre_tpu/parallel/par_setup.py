@@ -223,13 +223,22 @@ def build_level_comm(M: ParDEll, axis_name="p"):
 # shard_map plumbing
 # ---------------------------------------------------------------------------
 
-def _smap(mesh, fn, args, out_specs, axis="p"):
-    """shard_map a per-shard kernel over stacked arrays (axis 0).
-    Kernel sees leading length-1 shard dims; scalar outputs use P()."""
+def _smap_fn(mesh, fn, args, out_specs, axis="p"):
+    """Build the jitted shard_map for a per-shard kernel ONCE; callers
+    that invoke the same kernel repeatedly (the PMIS round loop) must
+    reuse the returned callable — re-wrapping per call makes jax
+    re-trace (and behind the relay re-issue remote_compile) every
+    round."""
     specs = tuple(P(axis, *([None] * (np.ndim(a) - 1))) for a in args)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=specs, out_specs=out_specs,
-        check_vma=False))(*args)
+        check_vma=False))
+
+
+def _smap(mesh, fn, args, out_specs, axis="p"):
+    """shard_map a per-shard kernel over stacked arrays (axis 0).
+    Kernel sees leading length-1 shard dims; scalar outputs use P()."""
+    return _smap_fn(mesh, fn, args, out_specs, axis)(*args)
 
 
 def _sp(axis, nd):
@@ -369,11 +378,13 @@ def par_pmis(cols_ext, strong, cp: CommPkg, row_part, mesh,
         return cf[None], m[None], more
 
     from hypre_tpu.core.heartbeat import beat
+    round_fn = _smap_fn(
+        mesh, round_kernel,
+        (cols_ext, strong, gids, cf, m, *_cp_args(cp)),
+        (_sp(axis, 2), _sp(axis, 2), P()), axis)
     while True:
-        cf, m, more = _smap(
-            mesh, round_kernel,
-            (cols_ext, strong, gids, cf, m, *_cp_args(cp)),
-            (_sp(axis, 2), _sp(axis, 2), P()), axis)
+        cf, m, more = round_fn(cols_ext, strong, gids, cf, m,
+                               *_cp_args(cp))
         beat("par pmis round")
         if int(np.asarray(more)) == 0:
             return cf

@@ -51,6 +51,7 @@ def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
     e_rows = cmap[rows[sel]]          # coarse row id
     e_cols = A.indices[sel]           # fine F column
     mag = np.abs(A.data[sel])
+    hop = np.zeros(len(e_rows), np.int8)      # 0 = distance-1
     if dist >= 2:
         max_nbrs = max(max_nbrs, 24)
         # distance-2: strong F-F edges out of the distance-1 set
@@ -62,17 +63,21 @@ def air_restriction(A: sp.csr_matrix, S: sp.csr_matrix, cf: np.ndarray,
         E2 = (E1 @ FF).tocoo()   # weight = path strength product
         e_rows = np.concatenate([e_rows, E2.row])
         e_cols = np.concatenate([e_cols, E2.col])
-        # distance-1 entries outrank distance-2 at equal magnitude
-        mag = np.concatenate([mag * 1e6, E2.data])
-        # dedup (keep max magnitude per (row, col))
+        mag = np.concatenate([mag, E2.data])
+        hop = np.concatenate([hop, np.ones(E2.nnz, np.int8)])
+        # dedup: keep the closest hop per (row, col), then the largest
+        # magnitude — a lexicographic (distance, |mag|) key, so a huge
+        # distance-2 path product can never outrank a distance-1 entry
         key = e_rows.astype(np.int64) * n + e_cols
-        order0 = np.lexsort((-mag, key))
+        order0 = np.lexsort((-mag, hop, key))
         key_s = key[order0]
         first = np.concatenate([[True], key_s[1:] != key_s[:-1]])
         e_rows = e_rows[order0][first]
         e_cols = e_cols[order0][first]
         mag = mag[order0][first]
-    order = np.lexsort((-mag, e_rows))
+        hop = hop[order0][first]
+    # top-max_nbrs per row by (distance asc, |mag| desc)
+    order = np.lexsort((-mag, hop, e_rows))
     e_rows, e_cols = e_rows[order], e_cols[order]
     rank = np.arange(len(e_rows)) - np.searchsorted(e_rows, e_rows)
     keep = rank < max_nbrs

@@ -149,32 +149,64 @@ def _stage_slots(M, ecl_in, NC):
     return ecl, rank, slot_start, S_max
 
 
+def _carry_last(flag, value, axis=0):
+    """Most recent `value` at or before each position where `flag`."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, out = jax.lax.associative_scan(op, (flag, value), axis=axis)
+    return out
+
+
 @partial(jax.jit, static_argnames=("NC", "G", "real_dtype"))
-def _stage_scatter(M, ecl, rank, slot_start, NC, G, real_dtype):
-    """Scatter into (chunk, slot, lane) layout; window bases, locs."""
+def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
+                 real_dtype):
+    """Place entries into the (chunk, slot, lane) layout and derive
+    window bases/locs.  Placement is a PER-LANE merge (2-D sorts along
+    the slot axis): entry with target slot t lands at out[t, lane],
+    slot-query rows fill the gaps.  The old whole-array scatter-set
+    into the (n_chunks*S*128,) buffer ran at XLA's big-buffer scatter
+    speed (~0.1 Melem/s measured on v5e — a guaranteed worker-watchdog
+    kill at 256^3)."""
     w, n = M.cols.shape
     valid = M.mask
     S = 8 * G
     n_chunks = -(-n // CHUNK)
-    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[None, :]
-    lane = (jnp.arange(n, dtype=jnp.int32) % CHUNK)[None, :]
-    # slot_start lookup flattened: (chunk, cluster) -> base slot —
-    # keeps every temp (w, n) lane-major
-    slot = jnp.take(slot_start.reshape(-1),
-                    chunk * NC + jnp.where(
-                        valid, jnp.minimum(ecl, NC - 1), 0)) + rank
-    flat = jnp.where(valid,
-                     (chunk * S + slot) * CHUNK + lane,
-                     n_chunks * S * CHUNK)
-    col_arr = jnp.full((n_chunks * S * CHUNK,), -1, jnp.int32).at[
-        flat.reshape(-1)].set(M.cols.reshape(-1), mode="drop")
-    val_arr = jnp.zeros((n_chunks * S * CHUNK,),
-                        jnp.dtype(real_dtype)).at[
-        flat.reshape(-1)].set(
-            M.vals.astype(jnp.dtype(real_dtype)).reshape(-1),
-            mode="drop")
-    col_arr = col_arr.reshape(n_chunks, S, CHUNK)
-    val_arr = val_arr.reshape(n_chunks, S, CHUNK)
+    tslot = jnp.where(valid, tslot_base + rank, _BIG)
+
+    iota_s = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32)[:, None], (S, n))
+    key = jnp.concatenate([tslot, iota_s], axis=0)
+    tag = jnp.concatenate(
+        [jnp.zeros((w, n), jnp.int32), jnp.ones((S, n), jnp.int32)],
+        axis=0)
+    pc = jnp.concatenate(
+        [jnp.where(valid, M.cols, -1),
+         jnp.full((S, n), -1, jnp.int32)], axis=0)
+    pv = jnp.concatenate(
+        [jnp.where(valid, M.vals, 0).astype(jnp.dtype(real_dtype)),
+         jnp.zeros((S, n), jnp.dtype(real_dtype))], axis=0)
+    k2, t2, c2, v2 = jax.lax.sort((key, tag, pc, pv), dimension=0,
+                                  num_keys=2)
+    isent = t2 == 0
+    ck = _carry_last(isent, jnp.where(isent, k2, 0))
+    cc = _carry_last(isent, jnp.where(isent, c2, -1))
+    cv = _carry_last(isent, jnp.where(isent, v2, 0))
+    hit = (t2 == 1) & (ck == k2) & (k2 < _BIG)
+    route = jnp.where(t2 == 1, k2, _BIG)
+    _, oc, ov = jax.lax.sort(
+        (route, jnp.where(hit, cc, -1), jnp.where(hit, cv, 0)),
+        dimension=0, num_keys=1)
+    col_arr = oc[:S]                                   # (S, n)
+    val_arr = ov[:S]
+
+    n_pad = n_chunks * CHUNK
+    col_arr = jnp.pad(col_arr, [(0, 0), (0, n_pad - n)],
+                      constant_values=-1)
+    val_arr = jnp.pad(val_arr, [(0, 0), (0, n_pad - n)])
+    col_arr = col_arr.reshape(S, n_chunks, CHUNK).transpose(1, 0, 2)
+    val_arr = val_arr.reshape(S, n_chunks, CHUNK).transpose(1, 0, 2)
 
     present = col_arr >= 0
     used = jnp.any(present, axis=2)                      # (n_chunks, S)
@@ -192,6 +224,28 @@ def _stage_scatter(M, ecl, rank, slot_start, NC, G, real_dtype):
     locs = jnp.where(present, col_arr - base[:, :, None] * 128, 0) \
         .astype(jnp.int16)
     return locs, val_arr, base, spread_max
+
+
+def _tslot_base(M, ecl, slot_start, NC):
+    """slot_start[chunk, ecl] per entry.  idx = chunk*NC + ecl is
+    perfectly banded (span NC per 128-lane chunk), so on TPU this is
+    one ops/btake.py gather; jnp.take elsewhere."""
+    from hypre_tpu.ops import btake as bt
+
+    w, n = M.cols.shape
+    valid = M.mask
+    chunk = (jnp.arange(n, dtype=jnp.int32) // CHUNK)[None, :]
+    idx = jnp.where(valid,
+                    chunk * NC + jnp.minimum(ecl, NC - 1),
+                    -1)
+    flat = slot_start.reshape(-1)
+    if bt.btake_enabled():
+        plan = bt.btake_plan(idx, flat.shape[0])
+        if plan is not None:
+            g = bt.btake(plan, flat)
+            return jnp.where(valid, g, 0)
+    safe = jnp.where(valid, idx, 0)
+    return jnp.where(valid, jnp.take(flat, safe), 0)
 
 
 def gstell_from_dell(M, real_dtype=None):
@@ -229,8 +283,9 @@ def gstell_from_dell(M, real_dtype=None):
     if n_chunks * 8 * G * CHUNK > max(16 * nnz, 1 << 20):
         return None
 
-    locs, val_arr, base, spread_max_d = _stage_scatter(
-        M, ecl, rank, slot_start, NC=n_clusters, G=G,
+    tsb = _tslot_base(M, ecl, slot_start, n_clusters)
+    locs, val_arr, base, spread_max_d = _stage_place(
+        M, ecl, rank, slot_start, tsb, NC=n_clusters, G=G,
         real_dtype=jnp.dtype(real_dtype))
     c = int(spread_max_d) // 128 + 1
     max_c = MAX_C if nnz > 1_000_000 else 4 * MAX_C

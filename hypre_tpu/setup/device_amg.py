@@ -324,8 +324,22 @@ def _pmis_init(A: DEll, strong, seed, global_ids):
     return cf0, measure
 
 
+def _gather_vec_plan(A: DEll, x, fill, plan):
+    """dell_gather_vec via the btake plan when available (bool sources
+    gathered as int32)."""
+    if plan is None:
+        return dell_gather_vec(A, x, fill)
+    from hypre_tpu.ops import btake as bt
+
+    is_bool = x.dtype == jnp.bool_
+    g = bt.btake(plan, x.astype(jnp.int32) if is_bool else x)
+    if is_bool:
+        g = g > 0
+    return jnp.where(A.mask, g, jnp.asarray(fill, g.dtype))
+
+
 @jax.jit
-def _pmis_round(A: DEll, strong, gid, cf, m):
+def _pmis_round(A: DEll, strong, gid, cf, m, plan=None):
     """One PMIS selection round.  Split out of the old lax.while_loop:
     one round per XLA program keeps each execution far below the TPU
     worker's 60 s single-program watchdog at 256^3+ (the whole-loop
@@ -335,13 +349,14 @@ def _pmis_round(A: DEll, strong, gid, cf, m):
     scatter-free: neighbor reads are shifted slices, and the scatter
     side of the independent-set test becomes a shifted read of the
     reverse arm (XLA gathers/scatters measure 0.1 Gelem/s on v5e vs
-    560 GB/s for slices)."""
+    560 GB/s for slices).  Coarse (non-stencil) operators gather
+    through the ops/btake.py plan."""
     n = A.cols.shape[1]
     un = cf == 0
     cand = un & (m > 1.0)
-    cand_nb = dell_gather_vec(A, cand, fill=False)
-    m_nb = dell_gather_vec(A, m)
-    gid_nb = dell_gather_vec(A, gid, fill=-1)
+    cand_nb = _gather_vec_plan(A, cand, False, plan)
+    m_nb = _gather_vec_plan(A, m, 0, plan)
+    gid_nb = _gather_vec_plan(A, gid, -1, plan)
     beats_me = (m_nb > m[None, :]) | ((m_nb == m[None, :])
                                       & (gid_nb > gid[None, :]))
     hit = cand_nb & beats_me
@@ -350,13 +365,15 @@ def _pmis_round(A: DEll, strong, gid, cf, m):
     if rev is not None:
         out_sc = jnp.any(_rev_strong(A, strong, rev) & hit, axis=0)
     else:
-        # scatter side: i beats j along edge (i, j)
+        # scatter side: i beats j along edge (i, j).  Scatter-ADD into
+        # the small (n,) accumulator — adds measure 34 Melem/s on v5e
+        # while set/max variants crawl
         scols = jnp.where(strong, A.cols, n)
         i_beats = (cand[None, :] & (cand_nb & strong)
                    & ((m[None, :] > m_nb) | ((m[None, :] == m_nb)
                                              & (gid[None, :] > gid_nb))))
-        out_sc = jnp.zeros((n,), bool).at[scols.reshape(-1)].max(
-            i_beats.reshape(-1), mode="drop")
+        out_sc = jnp.zeros((n,), jnp.int32).at[scols.reshape(-1)].add(
+            i_beats.astype(jnp.int32).reshape(-1), mode="drop") > 0
     new_c = cand & ~(out_row | out_sc)
     cf = jnp.where(new_c, jnp.int32(C_PT), cf)
 
@@ -364,8 +381,8 @@ def _pmis_round(A: DEll, strong, gid, cf, m):
     cf = jnp.where(low & (cf == 0), jnp.int32(F_PT), cf)
 
     is_c = cf == C_PT
-    has_c_dep = jnp.any(strong & dell_gather_vec(A, is_c, fill=False),
-                        axis=0)
+    has_c_dep = jnp.any(
+        strong & _gather_vec_plan(A, is_c, False, plan), axis=0)
     make_f = un & ~new_c & ~low & has_c_dep
     cf = jnp.where(make_f & (cf == 0), jnp.int32(F_PT), cf)
 
@@ -374,7 +391,8 @@ def _pmis_round(A: DEll, strong, gid, cf, m):
 
 
 def device_pmis(A, strong: jax.Array, seed: int = 2747,
-                global_ids: jax.Array | None = None) -> jax.Array:
+                global_ids: jax.Array | None = None,
+                plan=None) -> jax.Array:
     """CF marker (C_PT/F_PT/SF_PT) via PMIS over slot-major (w, n)
     cols/strong.  Mirrors setup/coarsen.pmis (ref: src/parcsr_ls/
     par_coarsen.c:2101) with the 32-bit hash; ties additionally broken
@@ -396,7 +414,7 @@ def device_pmis(A, strong: jax.Array, seed: int = 2747,
     unfinished = bool(jnp.any(cf == 0))
     rounds = 0
     while unfinished:
-        cf, m, more = _pmis_round(A, strong, global_ids, cf, m)
+        cf, m, more = _pmis_round(A, strong, global_ids, cf, m, plan)
         unfinished = bool(more)
         rounds += 1
         beat(f"pmis round {rounds} (n={n})")
@@ -418,7 +436,7 @@ def _row_diag(A: DEll):
 def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
                          n_coarse: int = -1,
                          trunc_factor: float = 0.0,
-                         max_elmts: int = 4) -> DEll:
+                         max_elmts: int = 4, plan=None) -> DEll:
     """Direct interpolation (type 3), semantics of
     hypre_BoomerAMGBuildDirInterp (ref: src/parcsr_ls/par_interp.c:
     1948-2500) — see setup/interp.direct_interp for the host twin.
@@ -431,7 +449,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     diag, is_diag = _row_diag(A)
     valid = A.mask
     offd = valid & ~is_diag
-    col_is_c = dell_gather_vec(A, is_c, fill=False)
+    col_is_c = _gather_vec_plan(A, is_c, False, plan)
     strong_c = strong & col_is_c
     pos = A.vals > 0
     neg = A.vals < 0
@@ -449,7 +467,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     sel = strong_c & f_row[None, :]
     pv = jnp.where(A.vals < 0, -alfa[None, :] * A.vals,
                    -beta[None, :] * A.vals)
-    pc = jnp.where(sel, dell_gather_vec(A, cmap, fill=-1), -1)
+    pc = jnp.where(sel, _gather_vec_plan(A, cmap, -1, plan), -1)
     pv = jnp.where(sel, pv, 0)
 
     # C rows interpolate identity (slot 0)
@@ -468,7 +486,7 @@ def device_direct_interp(A: DEll, strong: jax.Array, cf: jax.Array,
 def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
                         n_coarse: int = -1,
                         trunc_factor: float = 0.0, max_elmts: int = 4,
-                        chunk: int = 32768) -> DEll:
+                        chunk: int = 32768, plan=None) -> DEll:
     """Extended+i interpolation (type 6), semantics of
     hypre_BoomerAMGBuildExtPIInterp (ref: src/parcsr_ls/par_lr_interp.c:
     1024-1800; device variant par_lr_interp_device.c:1001) — see
@@ -484,8 +502,34 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     The chunk loop runs on the HOST (one jitted program per chunk,
     pipelined — no syncs between chunks): a fused lax.map over all
     chunks is one program whose runtime scales with n and trips the
-    60 s worker watchdog at large sizes."""
+    60 s worker watchdog at large sizes.
+
+    Gather paths: stencil A reads shifted slices; coarse operators go
+    through the ops/btake.py Pallas banded gather (`plan`, built once
+    per level and shared with PMIS/RAP); XLA gather as last resort."""
+    from hypre_tpu.core.heartbeat import beat
+
     w, n = A.cols.shape
+    if plan is None and A.disp is None:
+        plan = spgemm_plan(A, n)
+    if plan is not None and A.disp is None:
+        wins = _plan_windows(plan, chunk)
+        n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
+        (cmap, colsP, valsP, strgP, cfP, diagP, is_cP,
+         gsrc_i, gsrc_f) = _extpi_prepare_btake(
+            A, strong, cf, plan, n=n, n_lanes=n_lanes)
+        pcs = []
+        pvs = []
+        for i, (s0, ns, _l0, m) in enumerate(wins):
+            beat(f"extpi btake chunk {i}/{len(wins)} (n={n})")
+            pc_i, pv_i = _extpi_chunk_btake(
+                plan, jnp.int32(s0), colsP, valsP, strgP, cfP, diagP,
+                is_cP, gsrc_i, gsrc_f, n=n, ns=ns, m=m,
+                trunc_factor=trunc_factor, max_elmts=max_elmts)
+            pcs.append(pc_i)
+            pvs.append(pv_i)
+        return _extpi_finish(pcs, pvs, cmap, n=n, n_coarse=n_coarse)
+
     pad = max((max(abs(d) for d in A.disp) + 127) // 128 * 128, 128) \
         if A.disp is not None else 0
     prep = _extpi_prepare(A, strong, cf, chunk=chunk, n=n, pad=pad)
@@ -495,8 +539,6 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     n_pad = -(-n // chunk) * chunk
     n_ch = n_pad // chunk
     gidP = np.arange(n_pad, dtype=np.int32).reshape(n_ch, chunk)
-
-    from hypre_tpu.core.heartbeat import beat
 
     pcs = []
     pvs = []
@@ -554,45 +596,141 @@ def _extpi_prepare(A: DEll, strong, cf, chunk: int, n: int, pad: int):
 def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
                  A_cols, A_vals, cf, is_c, is_f, strong_c_all,
                  sign_diag, *, n, disp, pad, trunc_factor, max_elmts):
-    w = cols.shape[0]
+    m = cols.shape[1]
+    valid = cols >= 0
+    gcols = jnp.where(valid, cols, 0)
+
+    if disp is not None:
+        # stencil fast path: x[cols[s, c0:c0+m]] = slice at
+        # c0 + pad + disp[s] of the pre-padded global — no gather
+        def gvec(x, fill):
+            g = jnp.stack(
+                [jax.lax.dynamic_slice(x, (c0 + pad + d,), (m,))
+                 for d in disp], axis=0)
+            return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
+
+        def grows(X, fill):                       # (wX, w, m)
+            g = jnp.stack(
+                [jax.lax.dynamic_slice(
+                    X, (jnp.int32(0), c0 + pad + d),
+                    (X.shape[0], m))
+                 for d in disp], axis=1)
+            return jnp.where(valid[None, :, :], g,
+                             jnp.asarray(fill, g.dtype))
+
+        row_is_c = jax.lax.dynamic_slice(
+            is_c, (c0 + pad,), (m,)) & (gid < n)
+    else:
+        def gvec(x, fill):
+            g = jnp.take(x, gcols, axis=0)
+            return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
+
+        def grows(X, fill):
+            g = jnp.take(X, gcols, axis=1)
+            return jnp.where(valid[None, :, :], g,
+                             jnp.asarray(fill, g.dtype))
+
+        row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) \
+            & (gid < n)
+
+    col_is_c = gvec(is_c, False)
+    col_is_f = gvec(is_f, False)
+    col_is_sf = (gvec(cf, SF_PT) == SF_PT) & valid
+    k_diag_sign = gvec(sign_diag, 0)
+    nb_cols = grows(A_cols, -1)                       # (w, w, m)
+    nb_sc = grows(strong_c_all, False) & (nb_cols >= 0)
+    t_a = grows(A_vals, 0)
+    return _extpi_body(
+        cols, vals, strg, cfch, diagch, gid, col_is_c, col_is_f,
+        col_is_sf, k_diag_sign, nb_cols, nb_sc, t_a, row_is_c,
+        trunc_factor=trunc_factor, max_elmts=max_elmts)
+
+
+@partial(jax.jit, static_argnames=("n", "ns", "m",
+                                   "trunc_factor", "max_elmts"))
+def _extpi_chunk_btake(plan, s0, colsP, valsP, strgP, cfP, diagP,
+                       is_cP, gsrc_i, gsrc_f, *, n, ns, m,
+                       trunc_factor, max_elmts):
+    """btake-gather variant for coarse (non-stencil) operators: every
+    neighbor read runs through the ops/btake.py Pallas banded gather —
+    two kernel launches per chunk (gsrc_i int32 stack: A_cols + cf +
+    C/F/strong flags; gsrc_f real stack: A_vals + sign_diag).
+    *P arrays are pre-padded to the plan's lane count."""
+    from hypre_tpu.ops import btake as bt
+
+    w = colsP.shape[0]
+    pl_i = _plan_window_jit(plan, s0, ns)
+    lane0 = s0 * plan.ch_step * CHUNK_LANES
+
+    def lmat(a):
+        return jax.lax.dynamic_slice(a, (jnp.int32(0), lane0),
+                                     (a.shape[0], m))
+
+    cols = lmat(colsP)
+    vals = lmat(valsP)
+    strg = lmat(strgP)
+    valid = cols >= 0
+    cfch = jax.lax.dynamic_slice(cfP, (lane0,), (m,))
+    diagch = jax.lax.dynamic_slice(diagP, (lane0,), (m,))
+    gid = lane0 + jnp.arange(m, dtype=jnp.int32)
+    row_is_c = jax.lax.dynamic_slice(is_cP, (lane0,), (m,)) \
+        & (gid < n)
+
+    gi = bt.btake_rows(pl_i, gsrc_i)              # (2w+3, w, m)
+    nb_cols = jnp.where(valid[None], gi[:w], -1)
+    col_is_c = valid & (gi[w + 1] > 0)
+    col_is_f = valid & (gi[w + 2] > 0)
+    col_is_sf = valid & (gi[w] == SF_PT)
+    nb_sc = (gi[w + 3:] > 0) & (nb_cols >= 0)
+
+    gf = bt.btake_rows(pl_i, gsrc_f)              # (w+1, w, m)
+    t_a = jnp.where(valid[None], gf[:w], 0)
+    k_diag_sign = jnp.where(valid, gf[w], 0)
+
+    return _extpi_body(
+        cols, vals, strg, cfch, diagch, gid, col_is_c, col_is_f,
+        col_is_sf, k_diag_sign, nb_cols, nb_sc, t_a, row_is_c,
+        trunc_factor=trunc_factor, max_elmts=max_elmts)
+
+
+@partial(jax.jit, static_argnames=("n", "n_lanes"))
+def _extpi_prepare_btake(A: DEll, strong, cf, plan, *, n, n_lanes):
+    """Lane-padded operands + stacked gather sources for the btake
+    interp path (one program)."""
+    is_c = cf == C_PT
+    is_f = cf == F_PT
+    cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+    diag, _ = _row_diag(A)
+    strong_c_all = strong & _gather_vec_plan(A, is_c, False, plan)
+    sign_diag = jnp.sign(diag)
+
+    def padl(a, pv):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, n_lanes - n)]
+        return jnp.pad(a, widths, constant_values=pv)
+
+    gsrc_i = jnp.concatenate([
+        A.cols, cf[None], is_c.astype(jnp.int32)[None],
+        is_f.astype(jnp.int32)[None],
+        strong_c_all.astype(jnp.int32)], axis=0)
+    gsrc_f = jnp.concatenate([A.vals, sign_diag[None]], axis=0)
+    return (cmap, padl(A.cols, -1), padl(A.vals, 0),
+            padl(strong, False), padl(cf, SF_PT), padl(diag, 1.0),
+            padl(is_c, False), gsrc_i, gsrc_f)
+
+
+def _extpi_body(cols, vals, strg, cfch, diagch, gid, col_is_c,
+                col_is_f, col_is_sf, k_diag_sign, nb_cols, nb_sc, t_a,
+                row_is_c, *, trunc_factor, max_elmts):
+    """Shared ext+i math over pre-gathered neighbor data (the
+    hypre_BoomerAMGBuildExtPIInterp row formulas, ref:
+    src/parcsr_ls/par_lr_interp.c:1024-1800)."""
+    w, m = cols.shape
     wc = w * (1 + w)
     real = vals.dtype
+    valid = cols >= 0
+    gcols = jnp.where(valid, cols, 0)
 
     if True:
-        m = cols.shape[1]
-        valid = cols >= 0
-        gcols = jnp.where(valid, cols, 0)
-
-        if disp is not None:
-            # stencil fast path: x[cols[s, c0:c0+m]] = slice at
-            # c0 + pad + disp[s] of the pre-padded global — no gather
-            def gvec(x, fill):
-                g = jnp.stack(
-                    [jax.lax.dynamic_slice(x, (c0 + pad + d,), (m,))
-                     for d in disp], axis=0)
-                return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
-
-            def grows(X, fill):                       # (wX, w, m)
-                g = jnp.stack(
-                    [jax.lax.dynamic_slice(
-                        X, (jnp.int32(0), c0 + pad + d),
-                        (X.shape[0], m))
-                     for d in disp], axis=1)
-                return jnp.where(valid[None, :, :], g,
-                                 jnp.asarray(fill, g.dtype))
-        else:
-            def gvec(x, fill):
-                g = jnp.take(x, gcols, axis=0)
-                return jnp.where(valid, g, jnp.asarray(fill, g.dtype))
-
-            def grows(X, fill):
-                g = jnp.take(X, gcols, axis=1)
-                return jnp.where(valid[None, :, :], g,
-                                 jnp.asarray(fill, g.dtype))
-
-        col_is_c = gvec(is_c, False)
-        col_is_f = gvec(is_f, False)
-        col_is_sf = (gvec(cf, SF_PT) == SF_PT) & valid
         sc = strg & col_is_c
         sf = strg & col_is_f
         f_row = cfch == F_PT
@@ -601,9 +739,7 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
 
         # ---- Ĉ: sorted candidate list (duplicates fine) ------------
         cand1 = jnp.where(sc, cols, _BIG)                 # (w, m)
-        nb_cols = grows(A_cols, -1)                       # (w, w, m)
         nb_valid = nb_cols >= 0
-        nb_sc = grows(strong_c_all, False) & nb_valid
         cand2 = jnp.where(sf[None, :, :] & nb_sc, nb_cols, _BIG)
         chat = jnp.sort(jnp.concatenate(
             [cand1, cand2.reshape(w * w, m)], axis=0), axis=0)
@@ -649,8 +785,6 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
         # expand row k of A for each strong-F slot k: (w_l, w_k, m)
         t_l = nb_cols
         t_valid = nb_valid & sf[None, :, :]
-        t_a = grows(A_vals, 0)
-        k_diag_sign = gvec(sign_diag, 0)                  # (w, m)
         not_diag = t_l != gcols[None, :, :]
         sign_ok = (k_diag_sign[None, :, :] * t_a) < 0
         memb = member(jnp.where(t_valid, t_l, _BIG).reshape(
@@ -686,18 +820,14 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
         pv = pv / dsafe[None, :]
 
         # C identity rows; SF rows stay empty
-        if disp is not None:
-            row_is_c = jax.lax.dynamic_slice(
-                is_c, (c0 + pad,), (m,)) & (gid < n)
-        else:
-            row_is_c = jnp.take(is_c, jnp.minimum(gid, n - 1)) \
-                & (gid < n)
         slot0 = (jnp.arange(wc, dtype=jnp.int32) == 0)[:, None]
         pc = jnp.where(row_is_c[None, :],
                        jnp.where(slot0, gid[None, :], -1), pc)
         pv = jnp.where(row_is_c[None, :],
                        jnp.where(slot0, jnp.asarray(1.0, real), 0), pv)
-        Pch = DEll(cols=pc, vals=pv, n_cols=n)
+        # n_cols is provisional — _extpi_finish rebuilds the DEll with
+        # the coarse column count after fine->coarse renumbering
+        Pch = DEll(cols=pc, vals=pv, n_cols=int(m))
         if trunc_factor > 0.0 or (0 < max_elmts < wc):
             Pch = device_truncate(Pch, trunc_factor, max_elmts)
         return Pch.cols, Pch.vals
@@ -714,22 +844,41 @@ def _extpi_finish(pcs, pvs, cmap, *, n, n_coarse):
     return DEll(cols=pcols, vals=pvals, n_cols=n_coarse)
 
 
-def device_rap(A: DEll, P: DEll, chunk: int = 65536):
-    """Galerkin triple product Ac = P^T (A P) on device."""
+def device_rap(A: DEll, P: DEll, chunk: int = 65536, plan_a=None,
+               cf=None):
+    """Galerkin triple product Ac = P^T (A P) on device.  plan_a: the
+    level's ops/btake.py gather plan for A's row expansion (None for
+    stencil operators — they use shifted slices).  cf enables the
+    stencil-neighborhood transpose fast path."""
     from hypre_tpu.core.heartbeat import beat
+    from hypre_tpu.ops.btake import btake_enabled
 
+    if plan_a is None:
+        plan_a = spgemm_plan(A, P.n_rows)
     beat(f"rap: AP width (n={A.n_rows})")
-    w_ap = device_spgemm_width(A, P, chunk)
+    w_ap = device_spgemm_width(A, P, chunk, plan=plan_a)
     beat(f"rap: AP spgemm (w={w_ap})")
-    AP = device_spgemm(A, P, w_ap, chunk)
-    beat("rap: P transpose width")
-    w_pt = device_transpose_width(P)
-    beat(f"rap: P transpose (w={w_pt})")
-    PT = device_transpose(P, w_pt)
+    AP = device_spgemm(A, P, w_ap, chunk, plan=plan_a)
+    beat("rap: P transpose")
+    PT = None
+    if btake_enabled():
+        if A.disp is not None and cf is not None:
+            PT = device_transpose_stencil(P, A.disp, cf)
+        if PT is None:
+            PT = device_transpose_sorted(P)
+    if PT is None:
+        beat("rap: P transpose width")
+        w_pt = device_transpose_width(P)
+        beat(f"rap: P transpose scatter (w={w_pt})")
+        PT = device_transpose(P, w_pt)
+    beat("rap: PT*AP plan")
+    plan_pt = spgemm_plan(PT, AP.n_rows)
     beat("rap: PT*AP width")
-    w_ac = device_spgemm_width(PT, AP, max(chunk // 4, 8192))
+    w_ac = device_spgemm_width(PT, AP, max(chunk // 4, 8192),
+                               plan=plan_pt)
     beat(f"rap: PT*AP spgemm (w={w_ac})")
-    Ac = device_spgemm(PT, AP, w_ac, max(chunk // 4, 8192))
+    Ac = device_spgemm(PT, AP, w_ac, max(chunk // 4, 8192),
+                       plan=plan_pt)
     return Ac, PT
 
 
@@ -758,12 +907,15 @@ def iter_device_hierarchy(A: DEll, cfg):
         n = Al.n_rows
         if n <= cfg.max_coarse_size:
             break
+        beat(f"dev level {_level} plan")
+        plan = with_retries(spgemm_plan, Al, n, label="btake plan") \
+            if Al.disp is None else None
         beat(f"dev level {_level} strength (n={n})")
         strong = with_retries(device_strength, Al, cfg.strong_threshold,
                               cfg.max_row_sum, label="strength")
         beat(f"dev level {_level} pmis")
         cf = with_retries(device_pmis, Al, strong, seed=cfg.seed,
-                          label="pmis")
+                          plan=plan, label="pmis")
         beat(f"dev level {_level} pmis sync")
         n_coarse = int(with_retries(
             lambda: jnp.sum(cf == C_PT), label="pmis sync"))
@@ -776,17 +928,18 @@ def iter_device_hierarchy(A: DEll, cfg):
             P = with_retries(
                 device_direct_interp, Al, strong, cf,
                 n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
-                max_elmts=cfg.p_max_elmts, label="direct interp")
+                max_elmts=cfg.p_max_elmts, plan=plan,
+                label="direct interp")
         else:
             P = with_retries(
                 device_extpi_interp, Al, strong, cf,
                 n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
-                max_elmts=cfg.p_max_elmts, chunk=chunk,
+                max_elmts=cfg.p_max_elmts, chunk=chunk, plan=plan,
                 label="extpi interp")
         beat(f"dev level {_level} rap")
         Ac, PT = with_retries(
             device_rap, Al, P, chunk=_rap_chunk(Al.width, P.width),
-            label="rap")
+            plan_a=plan, cf=cf, label="rap")
         beat(f"dev level {_level} rap done")
         yield (Al, P, PT, cf)
         Al = Ac
@@ -874,6 +1027,24 @@ def _slot_compact(cand_cols, cand_vals, out_width):
     return oc[:out_width], ov[:out_width]
 
 
+def _rank_desc(mag, valid):
+    """rank[s, i] = position of slot s among row i's slots ordered by
+    DESCENDING mag (invalid slots ordered last, ties by slot id).
+    Sort + route-back sort only — the old argsort+scatter ranking ran
+    at XLA's 0.1 Gelem/s scatter speed and dominated chunked
+    truncation at 256^3."""
+    w, m = mag.shape
+    slots = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.int32)[:, None], (w, m))
+    big = jnp.asarray(jnp.finfo(mag.dtype).max, mag.dtype)
+    key = jnp.where(valid, -mag, big)
+    _, sslot = jax.lax.sort((key, slots), dimension=0, num_keys=1,
+                            is_stable=True)
+    # sslot[p] = original slot at sorted position p; route p back
+    _, rank = jax.lax.sort((sslot, slots), dimension=0, num_keys=1)
+    return rank
+
+
 def _slot_distinct_count(cand_cols):
     """Number of distinct valid cols per row (for output-width sizing).
     cand_cols (k, m) -> (m,)."""
@@ -898,22 +1069,94 @@ def _stack_chunks_jit(a, *, n, chunk, pad_value):
     return _stack_chunks(a, n, chunk, pad_value)
 
 
-def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536) -> int:
+def spgemm_plan(A: DEll, B_n_rows: int):
+    """Banded-gather plan for A's row expansion (ops/btake.py), shared
+    by the width and numeric SpGEMM passes — and, for a level
+    operator, by PMIS and interpolation (same index set).  None on
+    CPU / stencil operators / non-banded structure (callers fall back
+    to the XLA-gather path)."""
+    from hypre_tpu.ops import btake as bt
+
+    if A.disp is not None or not bt.btake_enabled():
+        return None
+    return bt.btake_plan(A.cols, B_n_rows)
+
+
+def _plan_windows(plan, chunk: int):
+    """(step0, n_steps, lane0, m) windows covering the plan's lanes,
+    each about `chunk` lanes."""
+    lps = plan.ch_step * CHUNK_LANES
+    steps_per = max(chunk // lps, 1)
+    wins = []
+    s0 = 0
+    while s0 < plan.n_steps:
+        ns = min(steps_per, plan.n_steps - s0)
+        wins.append((s0, ns, s0 * lps, ns * lps))
+        s0 += ns
+    return wins
+
+
+CHUNK_LANES = 128   # lanes per plan chunk (= gstell CHUNK)
+
+
+@partial(jax.jit, static_argnames=("ns", "m"))
+def _spgemm_width_chunk_btake(plan, s0, acp, B_cols, *, ns, m):
+    from hypre_tpu.ops import btake as bt
+
+    pl_i = _plan_window_jit(plan, s0, ns)
+    lane0 = s0 * plan.ch_step * CHUNK_LANES
+    ac = jax.lax.dynamic_slice(acp, (jnp.int32(0), lane0),
+                               (acp.shape[0], m))
+    bc = bt.btake_rows(pl_i, B_cols)              # (wb, wa, m)
+    bc = jnp.where(ac[None] >= 0, bc, -1)
+    wb, wa, _ = bc.shape
+    return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, m)))
+
+
+def _plan_window_jit(plan, s0, ns):
+    """Traced window view of a plan (dynamic start, static length)."""
+    import dataclasses as _dc
+
+    def sl(a):
+        return None if a is None else jax.lax.dynamic_slice_in_dim(
+            a, s0, ns, axis=0)
+    return _dc.replace(plan, base=sl(plan.base), brel=sl(plan.brel),
+                       w0b=sl(plan.w0b), locs=sl(plan.locs),
+                       n=ns * plan.ch_step * CHUNK_LANES)
+
+
+@partial(jax.jit, static_argnames=("n_lanes",))
+def _pad_lanes_jit(cols, vals, *, n_lanes):
+    ex = n_lanes - cols.shape[1]
+    return (jnp.pad(cols, [(0, 0), (0, ex)], constant_values=-1),
+            jnp.pad(vals, [(0, 0), (0, ex)]))
+
+
+def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536,
+                        plan=None) -> int:
     """Max distinct cols of any row of A @ B (host int; one sync).
     Host chunk loop (one program per chunk, single sync at the end):
     a fused lax.map is one long program and trips the 60 s watchdog.
 
-    PERF (measured, 256^3 fine level): the jnp.take row-expansion
-    gathers run at XLA's scalar gather speed (~145 ns/element), so
-    this pass alone costs ~1 s per 262144-row chunk and the full
-    device RAP exceeds 13 minutes — the reason the judged bench
-    prefers the host setup path.  The fix (next round) is the same
-    move the solve phase made: replace the expansion gathers with the
-    Pallas lane-shuffle gather (ops/gstell.py's primitive), which is
-    ~70x faster per element."""
+    Three row-expansion paths: stencil A (shifted slices), banded A
+    (the ops/btake.py Pallas lane-shuffle gather — the round-4 device
+    RAP spent >13 min in XLA's ~0.1 Gelem/s scalar gathers here), and
+    the XLA-gather fallback."""
     from hypre_tpu.core.heartbeat import beat
 
     n = A.n_rows
+    if plan is None:
+        plan = spgemm_plan(A, B.n_rows)
+    if plan is not None:
+        wins = _plan_windows(plan, chunk)
+        n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
+        acp, _ = _pad_lanes_jit(A.cols, A.vals, n_lanes=n_lanes)
+        parts = []
+        for i, (s0, ns, _l0, m) in enumerate(wins):
+            beat(f"spgemm width btake chunk {i}/{len(wins)} (n={n})")
+            parts.append(_spgemm_width_chunk_btake(
+                plan, jnp.int32(s0), acp, B.cols, ns=ns, m=m))
+        return int(jnp.max(jnp.stack(parts)))
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     n_ch = ac_all.shape[0]
     parts = []
@@ -955,17 +1198,56 @@ def _spgemm_width_chunk_stencil(ac, c0, B_cols, *, disp, pad):
     return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
 
 
+@partial(jax.jit, static_argnames=("ns", "m", "out_width"))
+def _spgemm_chunk_btake(plan, s0, acp, avp, B_cols, B_vals, *, ns, m,
+                        out_width):
+    from hypre_tpu.ops import btake as bt
+
+    pl_i = _plan_window_jit(plan, s0, ns)
+    lane0 = s0 * plan.ch_step * CHUNK_LANES
+    ac = jax.lax.dynamic_slice(acp, (jnp.int32(0), lane0),
+                               (acp.shape[0], m))
+    av = jax.lax.dynamic_slice(avp, (jnp.int32(0), lane0),
+                               (avp.shape[0], m))
+    bc = bt.btake_rows(pl_i, B_cols)              # (wb, wa, m)
+    bv = bt.btake_rows(pl_i, B_vals)
+    ok = ac[None] >= 0
+    bc = jnp.where(ok, bc, -1)
+    bv = jnp.where(ok, bv * av[None], 0)
+    wb, wa, _ = bc.shape
+    return _slot_compact(bc.reshape(wb * wa, m),
+                         bv.reshape(wb * wa, m), out_width)
+
+
 def device_spgemm(A: DEll, B: DEll, out_width: int,
-                  chunk: int = 65536) -> DEll:
+                  chunk: int = 65536, plan=None) -> DEll:
     """C = A @ B (ref: src/seq_mv/csr_spgemm_device.c:15 — the two-pass
     hash SpGEMM becomes gather + per-row sort + segment-sum, chunked to
     bound the (wa*wb, chunk) candidate buffer).  The chunk loop runs on
     the host (pipelined programs, no intermediate syncs) to stay under
     the worker's 60 s single-program watchdog.  Stencil A (disp set):
-    the B-row expansion reads shifted slices of B — no gathers."""
+    the B-row expansion reads shifted slices of B — no gathers.
+    Otherwise the expansion is the ops/btake.py Pallas banded gather
+    (plan reusable across the width pass and other per-level
+    consumers); XLA gather is the last resort."""
     from hypre_tpu.core.heartbeat import beat
 
     n = A.n_rows
+    if plan is None:
+        plan = spgemm_plan(A, B.n_rows)
+    if plan is not None:
+        wins = _plan_windows(plan, chunk)
+        n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
+        acp, avp = _pad_lanes_jit(A.cols, A.vals, n_lanes=n_lanes)
+        outs = []
+        for i, (s0, ns, _l0, m) in enumerate(wins):
+            beat(f"spgemm btake chunk {i}/{len(wins)} (n={n})")
+            outs.append(_spgemm_chunk_btake(
+                plan, jnp.int32(s0), acp, avp, B.cols, B.vals,
+                ns=ns, m=m, out_width=out_width))
+        cols, vals = _spgemm_finish([o[0] for o in outs],
+                                    [o[1] for o in outs], n=n)
+        return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     av_all = _stack_chunks_jit(A.vals, n=n, chunk=chunk, pad_value=0)
     n_ch = ac_all.shape[0]
@@ -1130,6 +1412,162 @@ def _transpose_chunk(cols_k, vals_k, row0, oc, ov, off, *, out_width,
     return oc, ov, off
 
 
+# -- scatter-free transposes (TPU) ------------------------------------------
+#
+# XLA scatters into output-sized buffers are catastrophically slow on
+# v5e (measured: 8M-element scatter-set into a 208M buffer = 93 s —
+# past the worker's 60 s watchdog; this is what wedged the round-4
+# device RAP).  Scatter-ADDs into small accumulators are fine
+# (34 Melem/s), and 1-D sorts run ~5 Melem/s.  The transposes below
+# use only: small scatter-adds (column counts), one 1-D two-key sort,
+# and ops/btake.py banded gathers for placement.
+
+@partial(jax.jit, static_argnames=("W2",))
+def _tr_sort(M: DEll, *, W2: int):
+    """All entries sorted by (col, i*W2+s).  Invalid slots sort last.
+    Also returns per-column counts (scatter-add) and their max."""
+    w, n = M.cols.shape
+    key = jnp.where(M.mask, M.cols, _BIG)
+    e = (jnp.arange(n, dtype=jnp.int32)[None, :] * W2
+         + jnp.arange(w, dtype=jnp.int32)[:, None])
+    ks, es = jax.lax.sort((key.reshape(-1), e.reshape(-1)),
+                          dimension=0, num_keys=2)
+    counts = jnp.zeros((M.n_cols + 1,), jnp.int32).at[
+        jnp.where(M.mask, M.cols, M.n_cols).reshape(-1)].add(
+            1, mode="drop")[:M.n_cols]
+    return ks, es, counts, jnp.max(counts) if M.n_cols else 0
+
+
+@partial(jax.jit, static_argnames=("w_out",))
+def _tr_positions(counts, *, w_out: int):
+    """idx2[t, j] = position of output row j's t-th entry in the
+    col-sorted entry list (-1 past the row's count)."""
+    col_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    t = jnp.arange(w_out, dtype=jnp.int32)[:, None]
+    idx2 = col_off[None, :] + t
+    return jnp.where(t < counts[None, :], idx2, -1)
+
+
+@partial(jax.jit, static_argnames=("W2",))
+def _tr_place(M: DEll, e_sel, valid2, vals_g, *, W2: int):
+    i_sel = jnp.where(valid2, e_sel // W2, -1)
+    s_sel = e_sel % W2
+    w = M.cols.shape[0]
+    tv = jnp.zeros(e_sel.shape, M.vals.dtype)
+    for k in range(w):
+        tv = jnp.where(valid2 & (s_sel == k), vals_g[k], tv)
+    return i_sel, tv
+
+
+def device_transpose_sorted(M: DEll) -> DEll | None:
+    """M^T via one global (col, row-order) sort + two banded-gather
+    placements — no output-sized scatters.  Returns None when the
+    btake plans reject (caller falls back).  TPU path; CPU tests keep
+    the scatter variant (fast enough there)."""
+    from hypre_tpu.ops import btake as bt
+
+    w, n = M.cols.shape
+    if n == 0 or M.n_cols == 0:
+        return None
+    W2 = 1 << max(w - 1, 1).bit_length()
+    if w == 1:
+        W2 = 1
+    ks, es, counts, w_out_d = _tr_sort(M, W2=W2)
+    w_out = int(w_out_d)
+    if w_out == 0:
+        return DEll(cols=jnp.full((1, M.n_cols), -1, jnp.int32),
+                    vals=jnp.zeros((1, M.n_cols), M.vals.dtype),
+                    n_cols=n)
+    idx2 = _tr_positions(counts, w_out=w_out)
+    plan2 = bt.btake_plan(idx2, w * n)
+    if plan2 is None:
+        return None
+    e_sel = bt.btake(plan2, es)
+    valid2 = idx2 >= 0
+    i_sel = jnp.where(valid2, e_sel // W2, -1)
+    plan3 = bt.btake_plan(i_sel, n)
+    if plan3 is None:
+        return None
+    vals_g = bt.btake_rows(plan3, M.vals)         # (w, w_out, n_cols)
+    tc, tv = _tr_place(M, e_sel, valid2, vals_g, W2=W2)
+    return DEll(cols=tc, vals=tv, n_cols=n)
+
+
+def _compose_disp(disp):
+    """Distance-<=2 linear displacement set of a stencil (python ints,
+    dedup'd): {d1 + d2 : d1, d2 in disp + {0}}."""
+    d0 = tuple(disp) + (0,)
+    return tuple(sorted({d1 + d2 for d1 in d0 for d2 in d0}))
+
+
+@jax.jit
+def _cpoint_positions(cf, n_coarse_arr):
+    """f[j] = fine index of coarse point j.  Scatter-ADD into zeros
+    (targets unique, so add == set; adds run 34 Melem/s on v5e where
+    set crawls)."""
+    n = cf.shape[0]
+    is_c = cf == C_PT
+    cmap = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_c, cmap, n_coarse_arr.shape[0])
+    return jnp.zeros((n_coarse_arr.shape[0],), jnp.int32).at[tgt].add(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("cand", "n", "w_out"))
+def _tr_stencil_core(P: DEll, f, plan_pc, *, cand, n, w_out):
+    from hypre_tpu.ops import btake as bt
+
+    pc_g = bt.btake_rows(plan_pc, P.cols)     # (w_p, D, n_c)
+    pv_g = bt.btake_rows(plan_pc, P.vals)
+    n_c = f.shape[0]
+    j_ids = jnp.arange(n_c, dtype=jnp.int32)[None, None, :]
+    cand_i = f[None, :] + jnp.asarray(cand, jnp.int32)[:, None]
+    ok_i = (cand_i >= 0) & (cand_i < n)
+    match = (pc_g == j_ids) & ok_i[None, :, :]
+    w_p, D, _ = pc_g.shape
+    tc = jnp.where(match, jnp.broadcast_to(cand_i[None], match.shape),
+                   -1)
+    tv = jnp.where(match, pv_g, 0)
+    return _slot_compact(tc.reshape(w_p * D, n_c),
+                         tv.reshape(w_p * D, n_c), w_out)
+
+
+def device_transpose_stencil(P: DEll, disp, cf) -> DEll | None:
+    """Transpose of an interpolation built on a STENCIL fine operator
+    (direct / ext+i): P-row(i)'s coarse points lie within i's
+    distance-2 A-neighborhood, so column j of P can only be hit from
+    fine rows f(j) + d for the composed displacement set — a banded
+    gather per coarse row instead of a global sort.  (Candidate rows
+    that wrap across grid lines are harmless: their P rows cannot
+    contain j unless the entry is real.)"""
+    from hypre_tpu.ops import btake as bt
+
+    w_p, n = P.cols.shape
+    n_c = P.n_cols
+    if n_c == 0:
+        return None
+    cand = _compose_disp(disp)
+    if len(cand) > 256:
+        return None
+    f = _cpoint_positions(cf, jnp.zeros((n_c,), jnp.int32))
+    cand_idx = _stencil_cand_idx(f, cand, n)
+    plan = bt.btake_plan(cand_idx, n)
+    if plan is None:
+        return None
+    w_out = int(_transpose_width_dev(P)) if n_c else 1
+    tc, tv = _tr_stencil_core(P, f, plan, cand=cand, n=n,
+                              w_out=max(w_out, 1))
+    return DEll(cols=tc, vals=tv, n_cols=n)
+
+
+@partial(jax.jit, static_argnames=("cand", "n"))
+def _stencil_cand_idx(f, cand, n):
+    ci = f[None, :] + jnp.asarray(cand, jnp.int32)[:, None]
+    return jnp.where((ci >= 0) & (ci < n), ci, -1)
+
+
 @partial(jax.jit, static_argnames=("trunc_factor", "max_elmts"))
 def device_truncate(P: DEll, trunc_factor: float, max_elmts: int) -> DEll:
     """Interpolation truncation (ref: src/parcsr_mv/par_csr_matrix.c:
@@ -1146,15 +1584,9 @@ def device_truncate(P: DEll, trunc_factor: float, max_elmts: int) -> DEll:
     kw = w
     if max_elmts > 0 and max_elmts < w:
         kw = max_elmts
-        # rank by descending magnitude among kept entries: sort slots
-        # by -|v| and keep the first kw
-        mag = jnp.where(keep, absv, -1.0)
-        order = jnp.argsort(-mag, axis=0)
-        rank_of_slot = jnp.zeros((w, n), jnp.int32).at[
-            order, jnp.broadcast_to(jnp.arange(n)[None, :], (w, n))
-        ].set(jnp.broadcast_to(
-            jnp.arange(w, dtype=jnp.int32)[:, None], (w, n)))
-        keep = keep & (rank_of_slot < kw)
+        # rank by descending magnitude among kept entries; keep the
+        # first kw (sort-based — no scatters)
+        keep = keep & (_rank_desc(absv, keep) < kw)
     row_sum = jnp.sum(vals, axis=0)
     kept_sum = jnp.sum(jnp.where(keep, vals, 0), axis=0)
     scale = jnp.where(kept_sum != 0, row_sum / kept_sum, 1.0)

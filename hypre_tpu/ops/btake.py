@@ -94,14 +94,26 @@ class BtakePlan:
 def _pick_ch_step(n_chunks: int, G: int) -> int:
     """Chunks per grid step (power of two): amortize per-step fixed
     costs over >= ~1 MB of locs while keeping the per-step VMEM output
-    block (ch_step * 8G * 128 * 4B) bounded."""
+    block (ch_step * 8G * 128 * 4B) bounded.  Capped at 16: Mosaic
+    compile time scales with the UNROLLED kernel body, and a ch_step
+    of 64 at G=4/c=5 was a >9 min compile."""
     per_chunk = 8 * G * CHUNK * 2          # locs int16
     target = max(1, (1 * 1024 * 1024) // per_chunk)
     ch = 1 << (target.bit_length() - 1)
     cap_out = max(1, (2 * 1024 * 1024) // (8 * G * CHUNK * 4))
     cap_out = 1 << (cap_out.bit_length() - 1)
     cap = 1 << max(int(n_chunks) - 1, 1).bit_length()
-    return int(max(1, min(64, cap, ch, cap_out)))
+    return int(max(1, min(16, cap, ch, cap_out)))
+
+
+def _pick_ku(G: int, c: int, CH: int) -> int:
+    """Chunk-loop unroll: bound traced kernel-body ops
+    (KU * G * (10c + 6)) to keep Mosaic compile seconds, not minutes.
+    Power of two dividing CH."""
+    per_chunk = max(G * (10 * c + 6), 1)
+    ku = max(1, 1024 // per_chunk)
+    ku = 1 << (ku.bit_length() - 1)
+    return int(min(ku, CH, _KUNROLL))
 
 
 @partial(jax.jit, static_argnames=("n_chunks", "S8"))
@@ -247,7 +259,7 @@ def _btake_pallas(plan: BtakePlan, X2d: jax.Array) -> jax.Array:
     S8 = 8 * G
     K_src = X2d.shape[0]
     dtype = X2d.dtype
-    KU = min(_KUNROLL, CH)     # CH is a power of two
+    KU = _pick_ku(G, c, CH)    # CH, KU powers of two
     assert CH % KU == 0
     interp = jax.default_backend() == "cpu"   # CPU tests: interpreter
 

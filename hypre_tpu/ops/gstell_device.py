@@ -149,15 +149,6 @@ def _stage_slots(M, ecl_in, NC):
     return ecl, rank, slot_start, S_max
 
 
-def _carry_last(flag, value, axis=0):
-    """Most recent `value` at or before each position where `flag`."""
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va)
-    _, out = jax.lax.associative_scan(op, (flag, value), axis=axis)
-    return out
-
 
 @partial(jax.jit, static_argnames=("NC", "G", "real_dtype"))
 def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
@@ -189,11 +180,20 @@ def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
          jnp.zeros((S, n), jnp.dtype(real_dtype))], axis=0)
     k2, t2, c2, v2 = jax.lax.sort((key, tag, pc, pv), dimension=0,
                                   num_keys=2)
-    isent = t2 == 0
-    ck = _carry_last(isent, jnp.where(isent, k2, 0))
-    cc = _carry_last(isent, jnp.where(isent, c2, -1))
-    cv = _carry_last(isent, jnp.where(isent, v2, 0))
-    hit = (t2 == 1) & (ck == k2) & (k2 < _BIG)
+    # Each lane has at most ONE entry per target slot and exactly one
+    # query per slot id, so equal-key runs have length <= 2 with the
+    # entry (tag 0) first: a query's entry, if any, sits DIRECTLY
+    # above it — a shift-by-one, no scan.  (associative_scan carries
+    # after a sort hang the XLA TPU compile at heights >~128.)
+    ck = jnp.concatenate([jnp.full((1, n), -_BIG, jnp.int32),
+                          k2[:-1]], axis=0)
+    ct = jnp.concatenate([jnp.ones((1, n), jnp.int32), t2[:-1]],
+                         axis=0)
+    cc = jnp.concatenate([jnp.full((1, n), -1, jnp.int32), c2[:-1]],
+                         axis=0)
+    cv = jnp.concatenate([jnp.zeros((1, n), pv.dtype), v2[:-1]],
+                         axis=0)
+    hit = (t2 == 1) & (ct == 0) & (ck == k2) & (k2 < _BIG)
     route = jnp.where(t2 == 1, k2, _BIG)
     _, oc, ov = jax.lax.sort(
         (route, jnp.where(hit, cc, -1), jnp.where(hit, cv, 0)),

@@ -747,9 +747,16 @@ def _extpi_body(cols, vals, strg, cfch, diagch, gid, col_is_c,
         def member(queries):                              # (q, m)
             """Membership of each query in the sorted Ĉ list via a
             merge sort + route-back sort (searchsorted's binary search
-            is log(wc) rounds of 0.1 Gelem/s gathers; comparator sorts
-            run 30-150x faster)."""
+            is log(wc) rounds of scalar-speed gathers; comparator
+            sorts are far faster).  Equal keys are CONTIGUOUS after
+            the merge with sources first (num_keys=2 on (key, tag)),
+            so a query is a member iff its key-run starts with a
+            source — run starts found by a plain cummax of indices +
+            take_along_axis.  (A tuple-op associative_scan here, or a
+            scan feeding a sort key, hangs the XLA TPU compile for
+            heights >~128 — see _slot_compact.)"""
             q = queries.shape[0]
+            kq = wc + q
             keys = jnp.concatenate([chat, queries], axis=0)
             tag = jnp.concatenate(
                 [jnp.zeros((wc, m), jnp.int32),
@@ -761,10 +768,15 @@ def _extpi_body(cols, vals, strg, cfch, diagch, gid, col_is_c,
                 axis=0)
             k2, t2, p2 = jax.lax.sort((keys, tag, pos),
                                       dimension=0, num_keys=2)
-            src_key = jnp.where(t2 == 0, k2, -_BIG)
-            last_src = jax.lax.associative_scan(jnp.maximum, src_key,
-                                                axis=0)
-            hit = (t2 == 1) & (last_src == k2) & (k2 < _BIG)
+            newrun = jnp.concatenate(
+                [jnp.ones((1, m), bool), k2[1:] != k2[:-1]], axis=0)
+            iota = jnp.broadcast_to(
+                jnp.arange(kq, dtype=jnp.int32)[:, None], (kq, m))
+            start_idx = jnp.maximum(jax.lax.associative_scan(
+                jnp.maximum, jnp.where(newrun, iota, -1), axis=0), 0)
+            start_is_src = jnp.take_along_axis(
+                (t2 == 0).astype(jnp.int32), start_idx, axis=0)
+            hit = (t2 == 1) & (start_is_src > 0) & (k2 < _BIG)
             # route back to query order: sort by query slot id
             p3, h3 = jax.lax.sort(
                 (jnp.where(t2 == 1, p2, _BIG),
@@ -967,16 +979,6 @@ def _rap_chunk(wa: int, wp: int, budget: int = 1 << 27) -> int:
 _BIG = np.int32(2**30)  # numpy scalar: no backend init at import
 
 
-def _carry_last(flag, value, axis=0):
-    """Per position: the most recent `value` at or before it whose
-    `flag` is set (associative "last set value" scan)."""
-    def op(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va)
-    _, out = jax.lax.associative_scan(op, (flag, value), axis=axis)
-    return out
-
 
 def _slot_compact(cand_cols, cand_vals, out_width):
     """Per-row dedup over the slot axis: sort candidate (col, val)
@@ -986,11 +988,13 @@ def _slot_compact(cand_cols, cand_vals, out_width):
     cand_cols int32 (k, m) with -1 padding; cand_vals (k, m).
     Returns (cols (out_width, m), vals (out_width, m)).
 
-    Sort/scan only — no scatters and no take_along_axis: XLA gathers
-    and scatters run at ~0.1 Gelem/s on TPU while the multi-operand
-    comparator sort runs at 3-17 Gelem/s, so run totals come from a
-    cumulative sum and the compaction is a second small sort keyed by
-    output slot."""
+    No scatters; the only gather is the per-lane run-start lookup.
+    IMPORTANT compile constraint (measured on v5e): an
+    associative_scan with a tuple/custom operator after a sort — or a
+    plain-max scan feeding a sort KEY — makes the XLA TPU compile hang
+    for k >~ 128 (it never returns; this wedged the round-4 device
+    RAP).  So the run-start carry is spelled as a plain cummax of
+    run-start INDICES followed by take_along_axis, which compiles."""
     k, m = cand_cols.shape
     key = jnp.where(cand_cols >= 0, cand_cols, _BIG)
     # stable: equal-col candidates keep source order, so the run
@@ -1009,7 +1013,11 @@ def _slot_compact(cand_cols, cand_vals, out_width):
     cum = jnp.cumsum(sv, axis=0)
     prev = jnp.concatenate([jnp.zeros((1, m), sv.dtype), cum[:-1]],
                            axis=0)
-    start_cum = _carry_last(new, jnp.where(new, prev, 0))
+    iota = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[:, None], (k, m))
+    start_idx = jnp.maximum(jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new, iota, -1), axis=0), 0)
+    start_cum = jnp.take_along_axis(prev, start_idx, axis=0)
     total = cum - start_cum
     # route each run's (col, total) — live at the run END — to its
     # output slot with a second sort (slot ids ascend, so the first

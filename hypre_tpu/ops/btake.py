@@ -141,13 +141,30 @@ def _plan_stage(idx, *, n_chunks, S8):
     return base, locs, c_minus
 
 
+_C_BUCKETS = (1, 2, 4, 8, 16, 32, 48, 64, 96)
+
+
+def _bucket_up(v: int, buckets) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return v
+
+
 def btake_plan(idx, n_src: int, itemsize: int = 4,
                ch_step: int | None = None,
-               resident_limit: int = VMEM_X_LIMIT):
+               resident_limit: int = VMEM_X_LIMIT,
+               lanes_multiple: int | None = None):
     """Build a gather plan for idx (S, n) int32 into length-n_src
     sources.  Returns None when the index set is not banded enough
     (caller falls back to XLA's gather).  One scalar sync (c) plus the
-    O(n_chunks * S) base fetch for band scheduling."""
+    O(n_chunks * S) base fetch for band scheduling.
+
+    Kernel-shape knobs (c, eb, x_rows_pad) are rounded up to buckets
+    so plans from different levels/problems compile to the SAME Mosaic
+    kernels — compiles on this environment cost 30-180 s per distinct
+    program, paid per process.  lanes_multiple pads the lane count so
+    chunked consumers see uniform window shapes."""
     S, n = idx.shape
     if n == 0 or S == 0 or n_src <= 0:
         return None
@@ -161,9 +178,14 @@ def btake_plan(idx, n_src: int, itemsize: int = 4,
         if _DEBUG:
             print(f"[btake reject] c={c} > {MAX_C}")
         return None
+    c = _bucket_up(c, _C_BUCKETS)
     if ch_step is None:
         ch_step = _pick_ch_step(n_chunks, G)
-    n_chunks_pad = -(-n_chunks // ch_step) * ch_step
+    cmul = ch_step
+    if lanes_multiple is not None:
+        cmul = max(ch_step, lanes_multiple // CHUNK)
+        cmul = -(-cmul // ch_step) * ch_step
+    n_chunks_pad = -(-n_chunks // cmul) * cmul
     n_steps = n_chunks_pad // ch_step
 
     base_np = np.asarray(base).astype(np.int64)     # ONE bulk fetch
@@ -177,6 +199,7 @@ def btake_plan(idx, n_src: int, itemsize: int = 4,
     B = eb = 0
     if resident:
         x_rows_pad = max(int(base_steps.max(initial=0)) + c, x_rows)
+        x_rows_pad = 1 << max(x_rows_pad - 1, 1).bit_length()
     else:
         r = _band_bases(base_steps, c)
         if r is None:
@@ -184,7 +207,19 @@ def btake_plan(idx, n_src: int, itemsize: int = 4,
                 print("[btake reject] band windows unbounded")
             return None
         brel, w0b, B, eb = r
+        # bucket eb (band window rows) so kernels are shared across
+        # levels; brel = band*eb + rel must be re-based
+        eb_new = 1 << max(eb - 1, 1).bit_length()
+        band = brel // eb
+        rel = brel - band * eb
+        brel = band * eb_new + rel
+        eb = eb_new
+        if B * eb > 2 * MAX_WIN_ROWS:
+            if _DEBUG:
+                print(f"[btake reject] bucketed B*eb={B*eb}")
+            return None
         x_rows_pad = max(int(w0b.max(initial=0)) + eb, x_rows)
+        x_rows_pad = 1 << max(x_rows_pad - 1, 1).bit_length()
         brel_arr = jnp.asarray(
             brel.reshape(n_steps, ch_step, G, 8).astype(np.int32))
         w0b_arr = jnp.asarray(w0b.astype(np.int32))
@@ -378,17 +413,31 @@ def _btake_pallas(plan: BtakePlan, X2d: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _btake_rows_jit(plan, X):
+def pad_sources(plan, X):
+    """(K, n_src) -> (K, x_rows_pad, 128) zero-padded 2-D sources —
+    the per-level part of a gather, split out so the BIG consumer
+    programs depend only on bucketed kernel shapes, never on n_src."""
     K_src = X.shape[0]
     npad = plan.x_rows_pad * 128
-    X2d = jnp.pad(X, [(0, 0), (0, npad - X.shape[1])]).reshape(
+    return jnp.pad(X, [(0, 0), (0, npad - X.shape[1])]).reshape(
         K_src, plan.x_rows_pad, 128)
+
+
+def btake_rows_padded(plan: BtakePlan, X2d: jax.Array) -> jax.Array:
+    """Gather with pre-padded sources (see pad_sources); returns
+    (K, S, n_lanes_padded) — crop to the real lane count at the call
+    site if needed."""
     y = _btake_pallas(plan, X2d)
-    # (K, n_steps, CH, S8, 128) -> (K, S, n)
-    _, n_steps, CH, S8, _ = y.shape
+    K_src, n_steps, CH, S8, _ = y.shape
     y = y.transpose(0, 3, 1, 2, 4).reshape(K_src, S8,
                                            n_steps * CH * CHUNK)
-    return y[:, :plan.S, :plan.n]
+    return y[:, :plan.S]
+
+
+@jax.jit
+def _btake_rows_jit(plan, X):
+    y = btake_rows_padded(plan, pad_sources(plan, X))
+    return y[:, :, :plan.n]
 
 
 def btake_rows(plan: BtakePlan, X: jax.Array) -> jax.Array:

@@ -148,6 +148,35 @@ def dell_to_scipy(M: DEll):
     return A
 
 
+_W_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 160, 192, 256)
+
+
+@partial(jax.jit, static_argnames=("wb",))
+def _pad_width_jit(cols, vals, *, wb):
+    ex = wb - cols.shape[0]
+    return (jnp.pad(cols, [(0, ex), (0, 0)], constant_values=-1),
+            jnp.pad(vals, [(0, ex), (0, 0)]))
+
+
+def dell_pad_width(M: DEll) -> DEll:
+    """Round the slot dimension up to a bucket (-1/0 padding slots).
+    Setup-program shapes key on the width, so bucketing lets levels
+    with similar widths SHARE compiled programs — each distinct
+    program costs 30-180 s of compile per process on this relay.
+    Stencil operators (disp) keep their exact arm count."""
+    if M.disp is not None:
+        return M
+    wb = M.width
+    for b in _W_BUCKETS:
+        if M.width <= b:
+            wb = b
+            break
+    if wb == M.width:
+        return M
+    c, v = _pad_width_jit(M.cols, M.vals, wb=wb)
+    return DEll(cols=c, vals=v, n_cols=M.n_cols)
+
+
 def dell_matvec(M: DEll, x: jax.Array) -> jax.Array:
     """y = M @ x (setup-phase utility; the solve phase uses the packed
     GST-ELL / DIA kernels, not this)."""
@@ -513,18 +542,32 @@ def device_extpi_interp(A: DEll, strong: jax.Array, cf: jax.Array,
     if plan is None and A.disp is None:
         plan = spgemm_plan(A, n)
     if plan is not None and A.disp is None:
-        wins = _plan_windows(plan, chunk)
+        from hypre_tpu.ops import btake as bt
+
+        m_pl = _plan_lanes_m(A.width)
+        wins = _plan_windows(plan, m_pl)
         n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
         (cmap, colsP, valsP, strgP, cfP, diagP, is_cP,
          gsrc_i, gsrc_f) = _extpi_prepare_btake(
             A, strong, cf, plan, n=n, n_lanes=n_lanes)
+        X2i = bt.pad_sources(plan, gsrc_i)
+        X2f = bt.pad_sources(plan, gsrc_f)
+        n_tr = jnp.int32(n)
         pcs = []
         pvs = []
-        for i, (s0, ns, _l0, m) in enumerate(wins):
+        for i, (s0, ns, l0, mw) in enumerate(wins):
             beat(f"extpi btake chunk {i}/{len(wins)} (n={n})")
+            pl_i = _plan_window_eager(plan, jnp.int32(s0), ns=ns)
+            l0j = jnp.int32(l0)
             pc_i, pv_i = _extpi_chunk_btake(
-                plan, jnp.int32(s0), colsP, valsP, strgP, cfP, diagP,
-                is_cP, gsrc_i, gsrc_f, n=n, ns=ns, m=m,
+                pl_i,
+                _lane_window_jit(colsP, l0j, m=mw),
+                _lane_window_jit(valsP, l0j, m=mw),
+                _lane_window_jit(strgP, l0j, m=mw),
+                _lane_window_jit(cfP, l0j, m=mw),
+                _lane_window_jit(diagP, l0j, m=mw),
+                _lane_window_jit(is_cP, l0j, m=mw),
+                l0j, n_tr, X2i, X2f,
                 trunc_factor=trunc_factor, max_elmts=max_elmts)
             pcs.append(pc_i)
             pvs.append(pv_i)
@@ -646,44 +689,31 @@ def _extpi_chunk(cols, vals, strg, cfch, diagch, gid, c0,
         trunc_factor=trunc_factor, max_elmts=max_elmts)
 
 
-@partial(jax.jit, static_argnames=("n", "ns", "m",
-                                   "trunc_factor", "max_elmts"))
-def _extpi_chunk_btake(plan, s0, colsP, valsP, strgP, cfP, diagP,
-                       is_cP, gsrc_i, gsrc_f, *, n, ns, m,
-                       trunc_factor, max_elmts):
+@partial(jax.jit, static_argnames=("trunc_factor", "max_elmts"))
+def _extpi_chunk_btake(pl_i, cols, vals, strg, cfch, diagch, ricch,
+                       lane0, n_tr, X2i, X2f, *, trunc_factor,
+                       max_elmts):
     """btake-gather variant for coarse (non-stencil) operators: every
     neighbor read runs through the ops/btake.py Pallas banded gather —
-    two kernel launches per chunk (gsrc_i int32 stack: A_cols + cf +
-    C/F/strong flags; gsrc_f real stack: A_vals + sign_diag).
-    *P arrays are pre-padded to the plan's lane count."""
+    two kernel launches per chunk (X2i int32 stack: A_cols + cf +
+    C/F/strong flags; X2f real stack: A_vals + sign_diag; both
+    pre-padded 2-D sources).  All operands are bucket-shaped windows
+    and n/lane0 are traced, so same-width levels share this program."""
     from hypre_tpu.ops import btake as bt
 
-    w = colsP.shape[0]
-    pl_i = _plan_window_jit(plan, s0, ns)
-    lane0 = s0 * plan.ch_step * CHUNK_LANES
-
-    def lmat(a):
-        return jax.lax.dynamic_slice(a, (jnp.int32(0), lane0),
-                                     (a.shape[0], m))
-
-    cols = lmat(colsP)
-    vals = lmat(valsP)
-    strg = lmat(strgP)
+    w, m = cols.shape
     valid = cols >= 0
-    cfch = jax.lax.dynamic_slice(cfP, (lane0,), (m,))
-    diagch = jax.lax.dynamic_slice(diagP, (lane0,), (m,))
     gid = lane0 + jnp.arange(m, dtype=jnp.int32)
-    row_is_c = jax.lax.dynamic_slice(is_cP, (lane0,), (m,)) \
-        & (gid < n)
+    row_is_c = ricch & (gid < n_tr)
 
-    gi = bt.btake_rows(pl_i, gsrc_i)              # (2w+3, w, m)
+    gi = bt.btake_rows_padded(pl_i, X2i)          # (2w+3, w, m)
     nb_cols = jnp.where(valid[None], gi[:w], -1)
     col_is_c = valid & (gi[w + 1] > 0)
     col_is_f = valid & (gi[w + 2] > 0)
     col_is_sf = valid & (gi[w] == SF_PT)
     nb_sc = (gi[w + 3:] > 0) & (nb_cols >= 0)
 
-    gf = bt.btake_rows(pl_i, gsrc_f)              # (w+1, w, m)
+    gf = bt.btake_rows_padded(pl_i, X2f)          # (w+1, w, m)
     t_a = jnp.where(valid[None], gf[:w], 0)
     k_diag_sign = jnp.where(valid, gf[w], 0)
 
@@ -883,6 +913,7 @@ def device_rap(A: DEll, P: DEll, chunk: int = 65536, plan_a=None,
         w_pt = device_transpose_width(P)
         beat(f"rap: P transpose scatter (w={w_pt})")
         PT = device_transpose(P, w_pt)
+    PT = dell_pad_width(PT)
     beat("rap: PT*AP plan")
     plan_pt = spgemm_plan(PT, AP.n_rows)
     beat("rap: PT*AP width")
@@ -948,13 +979,14 @@ def iter_device_hierarchy(A: DEll, cfg):
                 n_coarse=n_coarse, trunc_factor=cfg.trunc_factor,
                 max_elmts=cfg.p_max_elmts, chunk=chunk, plan=plan,
                 label="extpi interp")
+        P = dell_pad_width(P)
         beat(f"dev level {_level} rap")
         Ac, PT = with_retries(
             device_rap, Al, P, chunk=_rap_chunk(Al.width, P.width),
             plan_a=plan, cf=cf, label="rap")
         beat(f"dev level {_level} rap done")
-        yield (Al, P, PT, cf)
-        Al = Ac
+        yield (Al, P, dell_pad_width(PT), cf)
+        Al = dell_pad_width(Ac)
     yield Al
 
 
@@ -1077,7 +1109,21 @@ def _stack_chunks_jit(a, *, n, chunk, pad_value):
     return _stack_chunks(a, n, chunk, pad_value)
 
 
-def spgemm_plan(A: DEll, B_n_rows: int):
+CHUNK_LANES = 128   # lanes per plan chunk (= gstell CHUNK)
+
+
+def _plan_lanes_m(w: int) -> int:
+    """Fixed window lane count per width bucket: bounds the (w*w, m)
+    candidate buffers AND keys the chunk programs on (w_bucket, m)
+    only, so levels with the same width bucket share every compiled
+    program (a distinct program costs 30-180 s per process here)."""
+    per_row = max(w * w, 1) * 8
+    c = (1 << 27) // per_row
+    m = 1 << max(c.bit_length() - 1, 1)
+    return int(max(2048, min(1 << 18, m)))
+
+
+def spgemm_plan(A: DEll, B_n_rows: int, lanes_multiple: int | None = None):
     """Banded-gather plan for A's row expansion (ops/btake.py), shared
     by the width and numeric SpGEMM passes — and, for a level
     operator, by PMIS and interpolation (same index set).  None on
@@ -1087,12 +1133,16 @@ def spgemm_plan(A: DEll, B_n_rows: int):
 
     if A.disp is not None or not bt.btake_enabled():
         return None
-    return bt.btake_plan(A.cols, B_n_rows)
+    if lanes_multiple is None:
+        lanes_multiple = _plan_lanes_m(A.width)
+    return bt.btake_plan(A.cols, B_n_rows,
+                         lanes_multiple=lanes_multiple)
 
 
 def _plan_windows(plan, chunk: int):
     """(step0, n_steps, lane0, m) windows covering the plan's lanes,
-    each about `chunk` lanes."""
+    each about `chunk` lanes.  Plans built with lanes_multiple=chunk
+    yield UNIFORM windows (one compiled program for all chunks)."""
     lps = plan.ch_step * CHUNK_LANES
     steps_per = max(chunk // lps, 1)
     wins = []
@@ -1104,21 +1154,9 @@ def _plan_windows(plan, chunk: int):
     return wins
 
 
-CHUNK_LANES = 128   # lanes per plan chunk (= gstell CHUNK)
-
-
-@partial(jax.jit, static_argnames=("ns", "m"))
-def _spgemm_width_chunk_btake(plan, s0, acp, B_cols, *, ns, m):
-    from hypre_tpu.ops import btake as bt
-
-    pl_i = _plan_window_jit(plan, s0, ns)
-    lane0 = s0 * plan.ch_step * CHUNK_LANES
-    ac = jax.lax.dynamic_slice(acp, (jnp.int32(0), lane0),
-                               (acp.shape[0], m))
-    bc = bt.btake_rows(pl_i, B_cols)              # (wb, wa, m)
-    bc = jnp.where(ac[None] >= 0, bc, -1)
-    wb, wa, _ = bc.shape
-    return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, m)))
+@partial(jax.jit, static_argnames=("ns",))
+def _plan_window_eager(plan, s0, *, ns):
+    return _plan_window_jit(plan, s0, ns)
 
 
 def _plan_window_jit(plan, s0, ns):
@@ -1133,11 +1171,31 @@ def _plan_window_jit(plan, s0, ns):
                        n=ns * plan.ch_step * CHUNK_LANES)
 
 
+@partial(jax.jit, static_argnames=("m",))
+def _lane_window_jit(a, l0, *, m):
+    """Eager-callable lane-window slice (one tiny program per input
+    shape; l0 traced)."""
+    if a.ndim == 1:
+        return jax.lax.dynamic_slice(a, (l0,), (m,))
+    return jax.lax.dynamic_slice(a, (jnp.int32(0), l0),
+                                 (a.shape[0], m))
+
+
 @partial(jax.jit, static_argnames=("n_lanes",))
 def _pad_lanes_jit(cols, vals, *, n_lanes):
     ex = n_lanes - cols.shape[1]
     return (jnp.pad(cols, [(0, 0), (0, ex)], constant_values=-1),
             jnp.pad(vals, [(0, 0), (0, ex)]))
+
+
+@jax.jit
+def _spgemm_width_chunk_btake(pl_i, ac, X2c):
+    from hypre_tpu.ops import btake as bt
+
+    bc = bt.btake_rows_padded(pl_i, X2c)          # (wb, wa, m)
+    bc = jnp.where(ac[None] >= 0, bc, -1)
+    wb, wa, m = bc.shape
+    return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, m)))
 
 
 def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536,
@@ -1149,21 +1207,27 @@ def device_spgemm_width(A: DEll, B: DEll, chunk: int = 65536,
     Three row-expansion paths: stencil A (shifted slices), banded A
     (the ops/btake.py Pallas lane-shuffle gather — the round-4 device
     RAP spent >13 min in XLA's ~0.1 Gelem/s scalar gathers here), and
-    the XLA-gather fallback."""
+    the XLA-gather fallback.  The btake chunk programs see only
+    bucket-shaped operands (windowed plan + lane windows + pre-padded
+    sources), so same-bucket levels share one compiled program."""
     from hypre_tpu.core.heartbeat import beat
+    from hypre_tpu.ops import btake as bt
 
     n = A.n_rows
     if plan is None:
         plan = spgemm_plan(A, B.n_rows)
     if plan is not None:
-        wins = _plan_windows(plan, chunk)
+        m = _plan_lanes_m(A.width)
+        wins = _plan_windows(plan, m)
         n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
         acp, _ = _pad_lanes_jit(A.cols, A.vals, n_lanes=n_lanes)
+        X2c = bt.pad_sources(plan, B.cols)
         parts = []
-        for i, (s0, ns, _l0, m) in enumerate(wins):
+        for i, (s0, ns, l0, mw) in enumerate(wins):
             beat(f"spgemm width btake chunk {i}/{len(wins)} (n={n})")
-            parts.append(_spgemm_width_chunk_btake(
-                plan, jnp.int32(s0), acp, B.cols, ns=ns, m=m))
+            pl_i = _plan_window_eager(plan, jnp.int32(s0), ns=ns)
+            ac = _lane_window_jit(acp, jnp.int32(l0), m=mw)
+            parts.append(_spgemm_width_chunk_btake(pl_i, ac, X2c))
         return int(jnp.max(jnp.stack(parts)))
     ac_all = _stack_chunks_jit(A.cols, n=n, chunk=chunk, pad_value=-1)
     n_ch = ac_all.shape[0]
@@ -1206,23 +1270,16 @@ def _spgemm_width_chunk_stencil(ac, c0, B_cols, *, disp, pad):
     return jnp.max(_slot_distinct_count(bc.reshape(wb * wa, chunk)))
 
 
-@partial(jax.jit, static_argnames=("ns", "m", "out_width"))
-def _spgemm_chunk_btake(plan, s0, acp, avp, B_cols, B_vals, *, ns, m,
-                        out_width):
+@partial(jax.jit, static_argnames=("out_width",))
+def _spgemm_chunk_btake(pl_i, ac, av, X2c, X2v, *, out_width):
     from hypre_tpu.ops import btake as bt
 
-    pl_i = _plan_window_jit(plan, s0, ns)
-    lane0 = s0 * plan.ch_step * CHUNK_LANES
-    ac = jax.lax.dynamic_slice(acp, (jnp.int32(0), lane0),
-                               (acp.shape[0], m))
-    av = jax.lax.dynamic_slice(avp, (jnp.int32(0), lane0),
-                               (avp.shape[0], m))
-    bc = bt.btake_rows(pl_i, B_cols)              # (wb, wa, m)
-    bv = bt.btake_rows(pl_i, B_vals)
+    bc = bt.btake_rows_padded(pl_i, X2c)          # (wb, wa, m)
+    bv = bt.btake_rows_padded(pl_i, X2v)
     ok = ac[None] >= 0
     bc = jnp.where(ok, bc, -1)
     bv = jnp.where(ok, bv * av[None], 0)
-    wb, wa, _ = bc.shape
+    wb, wa, m = bc.shape
     return _slot_compact(bc.reshape(wb * wa, m),
                          bv.reshape(wb * wa, m), out_width)
 
@@ -1244,15 +1301,23 @@ def device_spgemm(A: DEll, B: DEll, out_width: int,
     if plan is None:
         plan = spgemm_plan(A, B.n_rows)
     if plan is not None:
-        wins = _plan_windows(plan, chunk)
+        from hypre_tpu.ops import btake as bt
+
+        out_width = -(-out_width // 8) * 8        # bucket: program reuse
+        m = _plan_lanes_m(A.width)
+        wins = _plan_windows(plan, m)
         n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
         acp, avp = _pad_lanes_jit(A.cols, A.vals, n_lanes=n_lanes)
+        X2c = bt.pad_sources(plan, B.cols)
+        X2v = bt.pad_sources(plan, B.vals)
         outs = []
-        for i, (s0, ns, _l0, m) in enumerate(wins):
+        for i, (s0, ns, l0, mw) in enumerate(wins):
             beat(f"spgemm btake chunk {i}/{len(wins)} (n={n})")
-            outs.append(_spgemm_chunk_btake(
-                plan, jnp.int32(s0), acp, avp, B.cols, B.vals,
-                ns=ns, m=m, out_width=out_width))
+            pl_i = _plan_window_eager(plan, jnp.int32(s0), ns=ns)
+            ac = _lane_window_jit(acp, jnp.int32(l0), m=mw)
+            av = _lane_window_jit(avp, jnp.int32(l0), m=mw)
+            outs.append(_spgemm_chunk_btake(pl_i, ac, av, X2c, X2v,
+                                            out_width=out_width))
         cols, vals = _spgemm_finish([o[0] for o in outs],
                                     [o[1] for o in outs], n=n)
         return DEll(cols=cols, vals=vals, n_cols=B.n_cols)
@@ -1459,21 +1524,42 @@ def _tr_positions(counts, *, w_out: int):
 
 
 @partial(jax.jit, static_argnames=("W2",))
-def _tr_place(M: DEll, e_sel, valid2, vals_g, *, W2: int):
-    i_sel = jnp.where(valid2, e_sel // W2, -1)
-    s_sel = e_sel % W2
-    w = M.cols.shape[0]
-    tv = jnp.zeros(e_sel.shape, M.vals.dtype)
+def _tr_esel_chunk(pl_i, idx2w, X2e, *, W2: int):
+    from hypre_tpu.ops import btake as bt
+
+    e_sel = bt.btake_rows_padded(pl_i, X2e)[0]
+    valid2 = idx2w >= 0
+    return jnp.where(valid2, e_sel // W2, -1), \
+        jnp.where(valid2, e_sel % W2, -1)
+
+
+@jax.jit
+def _tr_vals_chunk(pl_i, i_selw, s_selw, X2v):
+    from hypre_tpu.ops import btake as bt
+
+    vals_g = bt.btake_rows_padded(pl_i, X2v)      # (w, w_out, m)
+    w = vals_g.shape[0]
+    tv = jnp.zeros(i_selw.shape, vals_g.dtype)
     for k in range(w):
-        tv = jnp.where(valid2 & (s_sel == k), vals_g[k], tv)
-    return i_sel, tv
+        tv = jnp.where((i_selw >= 0) & (s_selw == k), vals_g[k], tv)
+    return tv
+
+
+def _tr_lanes_m(k: int) -> int:
+    """Lane-chunk size bounding (k, m) transpose buffers to ~32 MB per
+    temp (the unchunked 256^3 stencil transpose OOM'd HBM with 2 GB
+    temps)."""
+    m = (1 << 23) // max(k, 1)
+    m = 1 << max(m.bit_length() - 1, 1)
+    return int(max(8192, min(1 << 18, m)))
 
 
 def device_transpose_sorted(M: DEll) -> DEll | None:
     """M^T via one global (col, row-order) sort + two banded-gather
-    placements — no output-sized scatters.  Returns None when the
-    btake plans reject (caller falls back).  TPU path; CPU tests keep
-    the scatter variant (fast enough there)."""
+    placements — no output-sized scatters, lane-chunked so no
+    O(w_out * n_cols) temps live in one program.  Returns None when
+    the btake plans reject (caller falls back).  TPU path; CPU tests
+    keep the scatter variant (fast enough there)."""
     from hypre_tpu.ops import btake as bt
 
     w, n = M.cols.shape
@@ -1488,19 +1574,47 @@ def device_transpose_sorted(M: DEll) -> DEll | None:
         return DEll(cols=jnp.full((1, M.n_cols), -1, jnp.int32),
                     vals=jnp.zeros((1, M.n_cols), M.vals.dtype),
                     n_cols=n)
+    w_out = -(-w_out // 8) * 8        # bucket: program reuse
     idx2 = _tr_positions(counts, w_out=w_out)
-    plan2 = bt.btake_plan(idx2, w * n)
+    m_tr = _tr_lanes_m(w_out)
+    plan2 = bt.btake_plan(idx2, w * n, lanes_multiple=m_tr)
     if plan2 is None:
         return None
-    e_sel = bt.btake(plan2, es)
-    valid2 = idx2 >= 0
-    i_sel = jnp.where(valid2, e_sel // W2, -1)
-    plan3 = bt.btake_plan(i_sel, n)
+    X2e = bt.pad_sources(plan2, es[None, :])
+    wins = _plan_windows(plan2, m_tr)
+    n_lanes = plan2.n_steps * plan2.ch_step * CHUNK_LANES
+    idx2p = jnp.pad(idx2, [(0, 0), (0, n_lanes - M.n_cols)],
+                    constant_values=-1)
+    i_parts = []
+    s_parts = []
+    for (s0, ns, l0, mw) in wins:
+        pl_i = _plan_window_eager(plan2, jnp.int32(s0), ns=ns)
+        idx2w = _lane_window_jit(idx2p, jnp.int32(l0), m=mw)
+        iw, sw = _tr_esel_chunk(pl_i, idx2w, X2e, W2=W2)
+        i_parts.append(iw)
+        s_parts.append(sw)
+    i_sel = jnp.concatenate(i_parts, axis=1)[:, :M.n_cols]
+    s_sel = jnp.concatenate(s_parts, axis=1)[:, :M.n_cols]
+
+    plan3 = bt.btake_plan(i_sel, n, lanes_multiple=m_tr)
     if plan3 is None:
         return None
-    vals_g = bt.btake_rows(plan3, M.vals)         # (w, w_out, n_cols)
-    tc, tv = _tr_place(M, e_sel, valid2, vals_g, W2=W2)
-    return DEll(cols=tc, vals=tv, n_cols=n)
+    X2v = bt.pad_sources(plan3, M.vals)
+    wins3 = _plan_windows(plan3, m_tr)
+    n_lanes3 = plan3.n_steps * plan3.ch_step * CHUNK_LANES
+    i_selp = jnp.pad(i_sel, [(0, 0), (0, n_lanes3 - M.n_cols)],
+                     constant_values=-1)
+    s_selp = jnp.pad(s_sel, [(0, 0), (0, n_lanes3 - M.n_cols)],
+                     constant_values=-1)
+    tv_parts = []
+    for (s0, ns, l0, mw) in wins3:
+        pl_i = _plan_window_eager(plan3, jnp.int32(s0), ns=ns)
+        tv_parts.append(_tr_vals_chunk(
+            pl_i,
+            _lane_window_jit(i_selp, jnp.int32(l0), m=mw),
+            _lane_window_jit(s_selp, jnp.int32(l0), m=mw), X2v))
+    tv = jnp.concatenate(tv_parts, axis=1)[:, :M.n_cols]
+    return DEll(cols=i_sel, vals=tv, n_cols=n)
 
 
 def _compose_disp(disp):
@@ -1523,23 +1637,23 @@ def _cpoint_positions(cf, n_coarse_arr):
         jnp.arange(n, dtype=jnp.int32), mode="drop")
 
 
-@partial(jax.jit, static_argnames=("cand", "n", "w_out"))
-def _tr_stencil_core(P: DEll, f, plan_pc, *, cand, n, w_out):
+@partial(jax.jit, static_argnames=("n", "w_out"))
+def _tr_stencil_chunk(pl_i, fw, lane0, X2c, X2v, candj, *, n, w_out):
     from hypre_tpu.ops import btake as bt
 
-    pc_g = bt.btake_rows(plan_pc, P.cols)     # (w_p, D, n_c)
-    pv_g = bt.btake_rows(plan_pc, P.vals)
-    n_c = f.shape[0]
-    j_ids = jnp.arange(n_c, dtype=jnp.int32)[None, None, :]
-    cand_i = f[None, :] + jnp.asarray(cand, jnp.int32)[:, None]
-    ok_i = (cand_i >= 0) & (cand_i < n)
+    pc_g = bt.btake_rows_padded(pl_i, X2c)    # (w_p, D, m)
+    pv_g = bt.btake_rows_padded(pl_i, X2v)
+    m = fw.shape[0]
+    j_ids = (lane0 + jnp.arange(m, dtype=jnp.int32))[None, None, :]
+    cand_i = fw[None, :] + candj[:, None]
+    ok_i = (cand_i >= 0) & (cand_i < n) & (fw >= 0)[None, :]
     match = (pc_g == j_ids) & ok_i[None, :, :]
     w_p, D, _ = pc_g.shape
     tc = jnp.where(match, jnp.broadcast_to(cand_i[None], match.shape),
                    -1)
     tv = jnp.where(match, pv_g, 0)
-    return _slot_compact(tc.reshape(w_p * D, n_c),
-                         tv.reshape(w_p * D, n_c), w_out)
+    return _slot_compact(tc.reshape(w_p * D, m),
+                         tv.reshape(w_p * D, m), w_out)
 
 
 def device_transpose_stencil(P: DEll, disp, cf) -> DEll | None:
@@ -1549,7 +1663,8 @@ def device_transpose_stencil(P: DEll, disp, cf) -> DEll | None:
     fine rows f(j) + d for the composed displacement set — a banded
     gather per coarse row instead of a global sort.  (Candidate rows
     that wrap across grid lines are harmless: their P rows cannot
-    contain j unless the entry is real.)"""
+    contain j unless the entry is real.)  Lane-chunked: the unchunked
+    version OOM'd HBM at 256^3 (2 GB temps x ~8)."""
     from hypre_tpu.ops import btake as bt
 
     w_p, n = P.cols.shape
@@ -1561,12 +1676,29 @@ def device_transpose_stencil(P: DEll, disp, cf) -> DEll | None:
         return None
     f = _cpoint_positions(cf, jnp.zeros((n_c,), jnp.int32))
     cand_idx = _stencil_cand_idx(f, cand, n)
-    plan = bt.btake_plan(cand_idx, n)
+    m_tr = _tr_lanes_m(w_p * len(cand))
+    plan = bt.btake_plan(cand_idx, n, lanes_multiple=m_tr)
     if plan is None:
         return None
-    w_out = int(_transpose_width_dev(P)) if n_c else 1
-    tc, tv = _tr_stencil_core(P, f, plan, cand=cand, n=n,
-                              w_out=max(w_out, 1))
+    w_out = max(int(_transpose_width_dev(P)), 1) if n_c else 1
+    w_out = -(-w_out // 8) * 8        # bucket: program reuse
+    X2c = bt.pad_sources(plan, P.cols)
+    X2v = bt.pad_sources(plan, P.vals)
+    candj = jnp.asarray(cand, jnp.int32)
+    wins = _plan_windows(plan, m_tr)
+    n_lanes = plan.n_steps * plan.ch_step * CHUNK_LANES
+    fp = jnp.pad(f, (0, n_lanes - n_c), constant_values=-1)
+    tcs = []
+    tvs = []
+    for (s0, ns, l0, mw) in wins:
+        pl_i = _plan_window_eager(plan, jnp.int32(s0), ns=ns)
+        tc_i, tv_i = _tr_stencil_chunk(
+            pl_i, _lane_window_jit(fp, jnp.int32(l0), m=mw),
+            jnp.int32(l0), X2c, X2v, candj, n=n, w_out=w_out)
+        tcs.append(tc_i)
+        tvs.append(tv_i)
+    tc = jnp.concatenate(tcs, axis=1)[:, :n_c]
+    tv = jnp.concatenate(tvs, axis=1)[:, :n_c]
     return DEll(cols=tc, vals=tv, n_cols=n)
 
 

@@ -59,6 +59,6 @@ if LIMIT <= 4:
 
 rchunk = dev._rap_chunk(A.width, P.width)
 stamp(f"stage 5: rap (chunk={rchunk}) ...")
-Ac, PT = dev.device_rap(A, P, chunk=rchunk)
+Ac, PT = dev.device_rap(A, P, chunk=rchunk, cf=cf)
 stamp(f"stage 5: rap done n={Ac.n_rows} w={Ac.width} "
       f"nnz={int(jnp.sum(Ac.mask))}")

@@ -144,6 +144,39 @@ def run_child(path: str) -> int:
         beat(f"timed solve {t} done {times[-1]:.2f}s")
     t_solve = float(np.median(times))
 
+    # mixed-precision refinement: f32 inner solves + f64 outer
+    # residuals to a TRUE 1e-8 relative residual (removes the f32
+    # tolerance asterisk from the baseline comparison; reported as a
+    # supplementary metric, not the headline)
+    ir_info = None
+    if not os.environ.get("HYPRE_TPU_BENCH_NO_IR"):
+        try:
+            from hypre_tpu.solvers.refine import ir_solve, \
+                stencil_apply_f64
+
+            def _inner(r32):
+                rr = pcg(A=op, b=r32, M=amg.hierarchy, tol=tol,
+                         max_iter=60)
+                return np.asarray(rr.x), int(rr.iters)
+
+            ir = ir_solve(
+                lambda xx: stencil_apply_f64((n, n, n), LAPLACE_7PT,
+                                             xx),
+                b, _inner, tol=1e-8, max_outer=4)
+            ir_info = {
+                "true_relres_f64": ir["relres"],
+                "outer_iters": ir["outer_iters"],
+                "inner_iters_total": ir["inner_iters_total"],
+                "wall_s": ir["wall_s"],
+                "note": ("f32 inner AMG-PCG + f64 host stencil "
+                         "residual refinement to 1e-8 — the "
+                         "mixed-precision analog of the baseline's "
+                         "f64 tolerance"),
+            }
+            beat(f"IR done relres={ir['relres']:.2e}")
+        except Exception as e:          # never sink the headline
+            ir_info = {"error": repr(e)[:200]}
+
     iters = int(res.iters)
     nnz = amg.level_nnz[0]
     cyc_nnz = nnz * amg.operator_complexity * iters
@@ -177,6 +210,7 @@ def run_child(path: str) -> int:
             "operator_complexity": round(amg.operator_complexity, 3),
             "approx_cycle_gnnz_per_s": round(cyc_nnz / t_solve / 1e9, 2),
             "setup_path": path,
+            "ir_f64": ir_info,
             "solve_program": "predicated fori chunks (18,6), host "
                              "convergence checks between chunks",
             "level_formats": [type(l.A).__name__

@@ -150,21 +150,57 @@ def _stage_slots(M, ecl_in, NC):
 
 
 
-@partial(jax.jit, static_argnames=("NC", "G", "real_dtype"))
 def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
                  real_dtype):
-    """Place entries into the (chunk, slot, lane) layout and derive
-    window bases/locs.  Placement is a PER-LANE merge (2-D sorts along
-    the slot axis): entry with target slot t lands at out[t, lane],
-    slot-query rows fill the gaps.  The old whole-array scatter-set
-    into the (n_chunks*S*128,) buffer ran at XLA's big-buffer scatter
-    speed (~0.1 Melem/s measured on v5e — a guaranteed worker-watchdog
-    kill at 256^3)."""
+    """Lane-chunked placement driver: (S+w, n) merge buffers at
+    S up to 512 would need tens of GB in one program (the 256^3 pack
+    OOM'd HBM), so the merge runs per lane window."""
     w, n = M.cols.shape
-    valid = M.mask
+    S = 8 * G
+    m = (1 << 26) // max(S + w, 1)
+    m = max((m // CHUNK) * CHUNK, CHUNK)
+    n_pad = -(-n // m) * m
+    colsP = jnp.pad(M.cols, [(0, 0), (0, n_pad - n)],
+                    constant_values=-1)
+    valsP = jnp.pad(M.vals, [(0, 0), (0, n_pad - n)])
+    tslotP = jnp.pad(jnp.where(M.mask, tslot_base + rank, _BIG),
+                     [(0, 0), (0, n_pad - n)], constant_values=_BIG)
+    locs_p, vals_p, base_p, spread_p = [], [], [], []
+    for l0 in range(0, n_pad, m):
+        lw, vw, bw, sw = _stage_place_chunk(
+            _lane_win(colsP, jnp.int32(l0), m=m),
+            _lane_win(valsP, jnp.int32(l0), m=m),
+            _lane_win(tslotP, jnp.int32(l0), m=m),
+            G=G, real_dtype=real_dtype)
+        locs_p.append(lw)
+        vals_p.append(vw)
+        base_p.append(bw)
+        spread_p.append(sw)
+    locs = jnp.concatenate(locs_p, axis=0)
+    val_arr = jnp.concatenate(vals_p, axis=0)
+    base = jnp.concatenate(base_p, axis=0)
+    n_chunks = -(-n // CHUNK)
+    return (locs[:n_chunks], val_arr[:n_chunks], base[:n_chunks],
+            jnp.max(jnp.stack(spread_p)))
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _lane_win(a, l0, *, m):
+    return jax.lax.dynamic_slice(a, (jnp.int32(0), l0),
+                                 (a.shape[0], m))
+
+
+@partial(jax.jit, static_argnames=("G", "real_dtype"))
+def _stage_place_chunk(cols_w, vals_w, tslot, G, real_dtype):
+    """Place one lane window into the (chunk, slot, lane) layout and
+    derive its window bases/locs.  Placement is a PER-LANE merge (2-D
+    sorts along the slot axis): entry with target slot t lands at
+    out[t, lane], slot-query rows fill the gaps.  (The old whole-array
+    scatter-set ran at XLA's big-buffer scatter speed.)"""
+    w, n = cols_w.shape
+    valid = cols_w >= 0
     S = 8 * G
     n_chunks = -(-n // CHUNK)
-    tslot = jnp.where(valid, tslot_base + rank, _BIG)
 
     iota_s = jnp.broadcast_to(
         jnp.arange(S, dtype=jnp.int32)[:, None], (S, n))
@@ -173,10 +209,10 @@ def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
         [jnp.zeros((w, n), jnp.int32), jnp.ones((S, n), jnp.int32)],
         axis=0)
     pc = jnp.concatenate(
-        [jnp.where(valid, M.cols, -1),
+        [jnp.where(valid, cols_w, -1),
          jnp.full((S, n), -1, jnp.int32)], axis=0)
     pv = jnp.concatenate(
-        [jnp.where(valid, M.vals, 0).astype(jnp.dtype(real_dtype)),
+        [jnp.where(valid, vals_w, 0).astype(jnp.dtype(real_dtype)),
          jnp.zeros((S, n), jnp.dtype(real_dtype))], axis=0)
     k2, t2, c2, v2 = jax.lax.sort((key, tag, pc, pv), dimension=0,
                                   num_keys=2)
@@ -201,10 +237,6 @@ def _stage_place(M, ecl, rank, slot_start, tslot_base, NC, G,
     col_arr = oc[:S]                                   # (S, n)
     val_arr = ov[:S]
 
-    n_pad = n_chunks * CHUNK
-    col_arr = jnp.pad(col_arr, [(0, 0), (0, n_pad - n)],
-                      constant_values=-1)
-    val_arr = jnp.pad(val_arr, [(0, 0), (0, n_pad - n)])
     col_arr = col_arr.reshape(S, n_chunks, CHUNK).transpose(1, 0, 2)
     val_arr = val_arr.reshape(S, n_chunks, CHUNK).transpose(1, 0, 2)
 

@@ -248,6 +248,72 @@ def par_dot(x_loc, y_loc, axis_name="p"):
     return jax.lax.psum(jnp.vdot(x_loc, y_loc), axis_name)
 
 
+@dataclasses.dataclass(frozen=True)
+class ParStencilOp:
+    """Matrix-free distributed stencil operator (fine level).
+
+    The multi-chip twin of ops/stencil_pallas.StencilOp: when the fine
+    operator is a known constant stencil on an (nx, ny, nz) x-fastest
+    grid and rows are sharded in contiguous slabs, the matvec is
+    shifted-slice FMAs over a halo-extended local vector — zero stored
+    operator, zero gathers, and the halo is one ppermute pair instead
+    of the ELL ghost machinery.  hypre's analog is the stored-CSR SpMV
+    (ref: src/parcsr_mv/par_csr_matvec.c:21-235); this trades the
+    operator traffic away entirely, the same honesty caveat as the
+    single-chip bench fine level.
+
+    Fully static (hashable) — lives in ParAmgLevel's meta fields.
+    """
+
+    shape: tuple            # (nx, ny, nz)
+    arms: tuple             # ((dx, dy, dz), val) pairs, nonzero vals
+    n_local: int
+    n_shards: int
+    axis_name: str = "p"
+
+    @property
+    def maxdisp(self) -> int:
+        nx, ny, _ = self.shape
+        return max(abs(dx + nx * (dy + ny * dz))
+                   for (dx, dy, dz), _ in self.arms)
+
+
+def par_stencil_matvec(op: ParStencilOp, x_loc: jax.Array) -> jax.Array:
+    """y_loc = A @ x for the stencil operator; must run inside a
+    shard_map over op.axis_name.  Halo = the maxdisp-entry tails/heads
+    of the slab neighbors via two ppermutes (devices with no source
+    receive zeros, which the Dirichlet boundary masks ignore)."""
+    nx, ny, nz = op.shape
+    n = nx * ny * nz
+    nl = op.n_local
+    m = min(op.maxdisp, nl)
+    ns = op.n_shards
+    ax = op.axis_name
+    if ns > 1:
+        lo = jax.lax.ppermute(x_loc[-m:], ax,
+                              [(i, i + 1) for i in range(ns - 1)])
+        hi = jax.lax.ppermute(x_loc[:m], ax,
+                              [(i + 1, i) for i in range(ns - 1)])
+    else:
+        lo = jnp.zeros((m,), x_loc.dtype)
+        hi = jnp.zeros((m,), x_loc.dtype)
+    xext = jnp.concatenate([lo, x_loc, hi])
+    r0 = jax.lax.axis_index(ax) * nl
+    lin = r0 + jnp.arange(nl, dtype=jnp.int32)
+    gx = lin % nx
+    gy = (lin // nx) % ny
+    gz = lin // (nx * ny)
+    y = jnp.zeros_like(x_loc)
+    for (dx, dy, dz), v in op.arms:
+        d = dx + nx * (dy + ny * dz)
+        ok = ((lin < n) & (gx + dx >= 0) & (gx + dx < nx)
+              & (gy + dy >= 0) & (gy + dy < ny)
+              & (gz + dz >= 0) & (gz + dz < nz))
+        seg = jax.lax.dynamic_slice(xext, (m + d,), (nl,))
+        y = y + jnp.where(ok, jnp.asarray(v, x_loc.dtype), 0) * seg
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Host helpers
 # ---------------------------------------------------------------------------

@@ -40,7 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hypre_tpu.core.config import get_config
 from hypre_tpu.parallel.comm import exchange
 from hypre_tpu.parallel.parcsr import (
-    ParCSR, par_matvec, parcsr_from_scipy, shard_vector, unshard_vector,
+    ParCSR, ParStencilOp, par_matvec, par_stencil_matvec,
+    parcsr_from_scipy, shard_vector, unshard_vector,
 )
 from hypre_tpu.parallel.partition import RowPartition
 from hypre_tpu.setup.coarsen import C_PT
@@ -70,7 +71,7 @@ def local_matvec(L: LocalELL, x_loc: jax.Array) -> jax.Array:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A", "P", "R", "dinv", "cheby_ds", "cheby_bounds",
                       "gs_lo", "gs_up", "L", "U", "c_mask"],
-         meta_fields=[])
+         meta_fields=["stencil"])
 @dataclasses.dataclass(frozen=True)
 class ParAmgLevel:
     A: ParCSR
@@ -84,6 +85,17 @@ class ParAmgLevel:
     L: LocalELL | None = None           # strict lower of diag block
     U: LocalELL | None = None
     c_mask: jax.Array | None = None     # (n_shards, n_local) 1.0 at C pts
+    stencil: "ParStencilOp | None" = None   # matrix-free fine operator
+
+
+def level_matvec(lvl: ParAmgLevel, x_loc: jax.Array) -> jax.Array:
+    """A @ x for a level: the matrix-free stencil fast path when
+    available (the packed-format dispatch of the single-chip solve,
+    ref: src/seq_mv/csr_spmv_device.c:381 — same kernel at any np),
+    else the ELL diag/offd ParCSR matvec."""
+    if lvl.stencil is not None:
+        return par_stencil_matvec(lvl.stencil, x_loc)
+    return par_matvec(lvl.A, x_loc)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -121,7 +133,26 @@ class ParBoomerAMG:
     def n_shards(self) -> int:
         return int(np.prod(list(self.mesh.shape.values())))
 
-    def setup(self, A: sp.csr_matrix) -> "ParBoomerAMG":
+    def _fine_stencil_op(self, fine_stencil, n_local):
+        """ParStencilOp for level 0 when the fine operator is a known
+        stencil and the halo fits one slab neighbor."""
+        if fine_stencil is None:
+            return None
+        shape, entries = fine_stencil
+        arms = tuple(sorted(
+            ((tuple(d), float(v)) for d, v in entries if v != 0.0),
+            key=lambda e: e[0]))
+        op = ParStencilOp(shape=tuple(shape), arms=arms,
+                          n_local=int(n_local),
+                          n_shards=self.n_shards,
+                          axis_name=self.axis_name)
+        return op if op.maxdisp <= n_local else None
+
+    def setup(self, A: sp.csr_matrix,
+              fine_stencil=None) -> "ParBoomerAMG":
+        """fine_stencil=((nx, ny, nz), entries): apply the fine level
+        matrix-free (ParStencilOp) instead of stored ELL — the
+        multi-chip twin of BoomerAMG.setup(fine_stencil=...)."""
         cfg = self.config
         ns = self.n_shards
         real = get_config().np_real
@@ -135,8 +166,11 @@ class ParBoomerAMG:
         par_levels = []
         for i, (Al, Pl, Rl, cfm) in enumerate(levels_host):
             rp, cp = parts[i], parts[i + 1]
-            par_levels.append(self._build_level(Al, Pl, Rl, cfm, rp, cp,
-                                                ns, real, opt))
+            st = self._fine_stencil_op(fine_stencil, rp.n_local) \
+                if i == 0 else None
+            par_levels.append(dataclasses.replace(
+                self._build_level(Al, Pl, Rl, cfm, rp, cp,
+                                  ns, real, opt), stencil=st))
         par_levels.append(ParAmgLevel(
             A=parcsr_from_scipy(Ac, ns, real), P=None, R=None, dinv=None))
 
@@ -157,7 +191,8 @@ class ParBoomerAMG:
         self._place_hierarchy()
         return self
 
-    def setup_distributed(self, A) -> "ParBoomerAMG":
+    def setup_distributed(self, A,
+                          fine_stencil=None) -> "ParBoomerAMG":
         """DISTRIBUTED setup: the hierarchy is built on the mesh
         (parallel/par_setup.py — halo'd strength/PMIS/interp/RAP,
         ppermute comm, O(ghost) host metadata) and converted shard-by-
@@ -200,8 +235,13 @@ class ParBoomerAMG:
             if isinstance(item, tuple):
                 Al, Pl, Rl, cfm = item
                 parts.append(Al.row_part)
-                par_levels.append(self._build_level_pardell(
-                    Al, Pl, Rl, cfm, real, opt, PAR_C_PT))
+                st = self._fine_stencil_op(
+                    fine_stencil, Al.row_part.n_local) \
+                    if not par_levels else None
+                par_levels.append(dataclasses.replace(
+                    self._build_level_pardell(
+                        Al, Pl, Rl, cfm, real, opt, PAR_C_PT),
+                    stencil=st))
             else:
                 Ac_final = item
         parts.append(Ac_final.row_part)
@@ -437,7 +477,7 @@ def _par_relax(lvl: ParAmgLevel, relax_type: int, w, f, u, num_sweeps,
 
     if relax_type in (3, 4, 6, 8, 13, 14) and lvl.gs_lo is not None:
         def gs_sweep(u, back):
-            r = f if u is None else f - par_matvec(A, u)
+            r = f if u is None else f - level_matvec(lvl, u)
             T = lvl.gs_up[0] if back else lvl.gs_lo[0]
             z = jax.scipy.linalg.solve_triangular(T, r, lower=not back)
             return z if u is None else u + z
@@ -459,7 +499,7 @@ def _par_relax(lvl: ParAmgLevel, relax_type: int, w, f, u, num_sweeps,
         tri = lvl.U if back else lvl.L
 
     def jac_update(u):
-        r = f if u is None else f - par_matvec(A, u)
+        r = f if u is None else f - level_matvec(lvl, u)
         z = w * dinv[0] * r
         if two_stage:
             z = z - dinv[0] * local_matvec(tri, z)
@@ -491,7 +531,7 @@ def _par_cheby(lvl: ParAmgLevel, f, u, order: int, num_sweeps: int):
     d = ds[0]
 
     def op(z):
-        return d * par_matvec(A, d * z)
+        return d * level_matvec(lvl, d * z)
 
     for _ in range(num_sweeps):
         u_s = None if u is None else u / jnp.where(d != 0, d, 1.0)
@@ -533,16 +573,16 @@ def _par_cycle_at(h: ParAmgHierarchy, l: int, f, ctype: str):
     w, ns = h.relax_weight, h.num_sweeps
     u = _par_relax(lvl, h.relax_type, w, f, None, ns, h.cheby_order,
                    h.relax_order, up=False)
-    r = f - par_matvec(lvl.A, u)
+    r = f - level_matvec(lvl, u)
     fc = par_matvec(lvl.R, r)
 
     if ctype == "W" and l < nl - 2:
         uc = _par_cycle_at(h, l + 1, fc, "W")
-        rc = fc - par_matvec(levels[l + 1].A, uc)
+        rc = fc - level_matvec(levels[l + 1], uc)
         uc = uc + _par_cycle_at(h, l + 1, rc, "W")
     elif ctype == "F" and l < nl - 2:
         uc = _par_cycle_at(h, l + 1, fc, "F")
-        rc = fc - par_matvec(levels[l + 1].A, uc)
+        rc = fc - level_matvec(levels[l + 1], uc)
         uc = uc + _par_cycle_at(h, l + 1, rc, "V")
     else:
         uc = _par_cycle_at(h, l + 1, fc, "V" if ctype != "W" else ctype)
@@ -559,6 +599,7 @@ _solver_cache = {}
 def _build_par_solver(mesh: Mesh, h: ParAmgHierarchy, method: str,
                       tol, max_iter, kw_items=()):
     key = (id(mesh), tuple(l.A.diag_vals.shape for l in h.levels),
+           tuple(l.stencil for l in h.levels),
            method, h.relax_type, h.cycle_type, tol, max_iter, kw_items)
     if key in _solver_cache:
         return _solver_cache[key]
@@ -570,8 +611,7 @@ def _build_par_solver(mesh: Mesh, h: ParAmgHierarchy, method: str,
         from hypre_tpu.solvers import krylov, krylov_more
 
         b = b_loc[0]
-        A0 = h.levels[0].A
-        Aop = lambda v: par_matvec(A0, v)          # noqa: E731
+        Aop = lambda v: level_matvec(h.levels[0], v)   # noqa: E731
         Mop = lambda r: par_amg_cycle(h, r)        # noqa: E731
         fns = {
             "pcg": krylov.pcg,

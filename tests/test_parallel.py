@@ -164,3 +164,60 @@ def test_par_cf_relax_order():
     it_p, it_s, rel = _both_iters(cfg)
     assert rel <= 1e-8
     assert it_p == it_s
+
+
+def test_par_stencil_fine_level():
+    """Matrix-free ParStencilOp fine level (the packed-format dispatch
+    for the multi-chip solve, VERDICT r4 item 3): matvec matches the
+    stored operator and the AMG-PCG iteration count is identical to
+    the stored-ELL fine level."""
+    from hypre_tpu.parallel.parcsr import ParStencilOp, par_stencil_matvec
+
+    nx, ny, nz = 16, 16, 8
+    ST = [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
+          ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
+          ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)]
+    A = laplacian(nx, ny, nz)
+    n = A.shape[0]
+    part = RowPartition.create(n, 8)
+    op = ParStencilOp(shape=(nx, ny, nz), arms=tuple(
+        (tuple(d), v) for d, v in ST), n_local=part.n_local, n_shards=8)
+    assert op.maxdisp <= part.n_local
+    mesh = mesh8()
+    x = np.random.RandomState(3).randn(n)
+    x_sh = jax.device_put(shard_vector(x, part),
+                          NamedSharding(mesh, P("p", None)))
+    f = jax.jit(jax.shard_map(
+        lambda v: par_stencil_matvec(op, v[0])[None, :],
+        mesh=mesh, in_specs=(P("p", None),),
+        out_specs=P("p", None), check_vma=False))
+    y = unshard_vector(f(x_sh), part)
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12)
+
+    # full AMG-PCG: stencil fine level == stored fine level iterations
+    b = np.ones(n)
+    pam_st = ParBoomerAMG(mesh8(), AmgConfig()).setup(
+        A, fine_stencil=((nx, ny, nz), ST))
+    assert pam_st.hierarchy.levels[0].stencil is not None
+    x1, it1, _ = pam_st.solve_pcg(b, tol=1e-8, max_iter=200)
+    pam = ParBoomerAMG(mesh8(), AmgConfig()).setup(A)
+    x2, it2, _ = pam.solve_pcg(b, tol=1e-8, max_iter=200)
+    assert it1 == it2
+    np.testing.assert_allclose(x1, x2, rtol=1e-8, atol=1e-10)
+
+
+def test_par_stencil_distributed_setup():
+    """fine_stencil through the DISTRIBUTED setup path too."""
+    ST = [((0, 0, 0), 6.0), ((-1, 0, 0), -1.0), ((1, 0, 0), -1.0),
+          ((0, -1, 0), -1.0), ((0, 1, 0), -1.0),
+          ((0, 0, -1), -1.0), ((0, 0, 1), -1.0)]
+    nx = ny = nz = 12
+    A = laplacian(nx, ny, nz)
+    b = np.ones(A.shape[0])
+    cfg = AmgConfig(interp_type=6, relax_type=18, max_levels=4)
+    pam = ParBoomerAMG(mesh8(), cfg).setup_distributed(
+        A, fine_stencil=((nx, ny, nz), ST))
+    assert pam.hierarchy.levels[0].stencil is not None
+    x, iters, rel = pam.solve_pcg(b, tol=1e-8, max_iter=200)
+    true_rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert true_rel < 1e-7

@@ -278,6 +278,7 @@ def main(argv=None):
              16: "AMG-COGMRES", 17: "DS-COGMRES", 20: "AMG-Hybrid",
              50: "DS-LGMRES", 51: "AMG-LGMRES",
              60: "DS-FlexGMRES", 61: "AMG-FlexGMRES",
+             18: "ParaSails-GMRES",
              43: "FSAI-PCG", 80: "ILU-GMRES", 81: "ILU-PCG"}
     print(f"Solver: {names.get(solver_id, solver_id)}")
 
@@ -348,7 +349,18 @@ def main(argv=None):
         res = fn(op, b, x0=x0, M=M.precondition, tol=args.tol,
                  max_iter=args.max_iter, **kw)
         x, iters, relres = res.x, res.iters, res.relres
-    elif solver_id in (8, 43):
+    elif solver_id in (8, 18):
+        # ParaSails (hypre ij.c: 8 = ParaSails-PCG, 18 = ParaSails-GMRES)
+        from hypre_tpu.solvers.parasails import ParaSails, \
+            ParaSailsConfig
+
+        M = ParaSails(ParaSailsConfig(sym=(solver_id == 8))).setup(A)
+        fn = pcg if solver_id == 8 else gmres
+        kw = {"k_dim": args.k_dim} if solver_id == 18 else {}
+        res = fn(op, b, x0=x0, M=M.precondition, tol=args.tol,
+                 max_iter=args.max_iter, **kw)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id == 43:
         from hypre_tpu.solvers import FSAI, FsaiConfig
 
         M = FSAI(FsaiConfig()).setup(A)

@@ -8,6 +8,7 @@ from hypre_tpu.solvers.hybrid import (  # noqa: F401
 )
 from hypre_tpu.solvers.lobpcg import lobpcg, LobpcgResult  # noqa: F401
 from hypre_tpu.solvers.fsai import FSAI, FsaiConfig  # noqa: F401
+from hypre_tpu.solvers.parasails import ParaSails, ParaSailsConfig  # noqa: F401
 from hypre_tpu.solvers.ilu import ILU, IluConfig  # noqa: F401
 from hypre_tpu.solvers.schwarz import Schwarz, SchwarzConfig  # noqa: F401
 from hypre_tpu.solvers.ams import AMS, AmsConfig  # noqa: F401

@@ -22,18 +22,23 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["coefs"], meta_fields=["offsets", "shape"])
+         data_fields=["coefs"],
+         meta_fields=["offsets", "shape", "periodic"])
 @dataclasses.dataclass(frozen=True)
 class StructMatrix:
     """coefs: real[n_offsets, nz, ny, nx]; offsets: tuple[(dz,dy,dx)].
 
     coefs[k][z,y,x] multiplies u[z+dz, y+dy, x+dx]; entries reaching
     outside the grid must have zero coefficients (setup enforces it).
+    periodic[d] != 0 makes axis d wrap (hypre StructGridSetPeriodic,
+    ref: src/struct_mv/struct_grid.h periodic member): shifts along
+    that axis become circular rolls instead of zero-filled shifts.
     """
 
     coefs: jax.Array
     offsets: tuple
     shape: tuple  # (nz, ny, nx)
+    periodic: tuple = (0, 0, 0)
 
     @property
     def n_rows(self):
@@ -41,12 +46,17 @@ class StructMatrix:
         return nz * ny * nx
 
 
-def _shift3(u, off):
-    """u evaluated at index + off, zero-filled outside the grid."""
-    dz, dy, dx = off
+def _shift3(u, off, periodic=(0, 0, 0)):
+    """u evaluated at index + off; zero-filled outside the grid on
+    non-periodic axes, circularly wrapped on periodic ones."""
+    per_axes = [d for d in range(3) if periodic[d] and off[d]]
+    if per_axes:
+        u = jnp.roll(u, shift=[-off[d] for d in per_axes],
+                     axis=per_axes)
     pads = []
     slices = []
-    for d, n in zip((dz, dy, dx), u.shape):
+    for ax, n in enumerate(u.shape):
+        d = 0 if (periodic[ax] and off[ax]) else off[ax]
         lo = max(0, -d)
         hi = max(0, d)
         pads.append((lo, hi))
@@ -57,9 +67,10 @@ def _shift3(u, off):
 
 def struct_matvec(A: StructMatrix, u: jax.Array) -> jax.Array:
     """y = A u (hypre_StructMatvecCompute analog)."""
+    per = getattr(A, "periodic", (0, 0, 0))
     y = jnp.zeros_like(u)
     for k, off in enumerate(A.offsets):
-        y = y + A.coefs[k] * _shift3(u, off)
+        y = y + A.coefs[k] * _shift3(u, off, per)
     return y
 
 

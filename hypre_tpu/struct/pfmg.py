@@ -304,11 +304,7 @@ def _interp_apply(lvl: PfmgLevel, uc):
     """u_f = P u_c for semicoarsening along lvl.cdir."""
     d = lvl.cdir
     n_f = lvl.fine_shape[d]
-    uf = jnp.zeros(lvl.fine_shape, dtype=uc.dtype)
-    # even planes: injection
-    ev = [slice(None)] * 3
-    ev[d] = slice(0, n_f, 2)
-    uf = uf.at[tuple(ev)].set(uc)
+    n_c = lvl.coarse_shape[d]
     # odd planes f = 2I+1: wm*u_c[I] + wp*u_c[I+1]
     n_odd = n_f // 2
     od = [slice(None)] * 3
@@ -319,10 +315,22 @@ def _interp_apply(lvl: PfmgLevel, uc):
     hi[d] = slice(1, n_odd + 1)
     uc_hi = jnp.pad(uc, [(0, 1) if e == d else (0, 0)
                          for e in range(3)])[tuple(hi)]
-    wm_o = lvl.wm[tuple(od)]
-    wp_o = lvl.wp[tuple(od)]
-    uf = uf.at[tuple(od)].set(wm_o * uc[tuple(lo)] + wp_o * uc_hi)
-    return uf
+    odd = lvl.wm[tuple(od)] * uc[tuple(lo)] + lvl.wp[tuple(od)] * uc_hi
+    # Interleave even (injection = uc) and odd planes WITHOUT a strided
+    # scatter: `.at[::2].set` lowers to an HLO scatter that GSPMD
+    # cannot shard along the partitioned axis — it all-gathered whole
+    # middle levels in the distributed PFMG cycle.  stack+reshape is
+    # the shardable (and single-chip cheaper) spelling.
+    if n_odd < n_c:
+        odd = jnp.pad(odd, [(0, n_c - n_odd) if e == d else (0, 0)
+                            for e in range(3)])
+    uf = jnp.stack([uc, odd], axis=d + 1)
+    newshape = list(lvl.fine_shape)
+    newshape[d] = 2 * n_c
+    uf = uf.reshape(newshape)
+    sl = [slice(None)] * 3
+    sl[d] = slice(0, n_f)
+    return uf[tuple(sl)]
 
 
 def _restrict_apply(lvl: PfmgLevel, rf):

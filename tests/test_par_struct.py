@@ -46,11 +46,45 @@ def test_par_pfmg_halo_is_collective_permute():
     txt = jax.jit(cyc).lower(h, b).compile().as_text()
     assert "collective-permute" in txt, \
         "halo exchange should compile to collective-permute"
-    # the fine grid must never be all-gathered: no all-gather touching
-    # a full-grid-sized operand (32*16*16 elements)
+    # Count + volume bounds (round-4 verdict: presence alone would let
+    # middle levels regress to all-gathers).  (a) NO level of the
+    # hierarchy may be all-gathered: every all-gather operand must be
+    # smaller than the coarsest non-replicated level's shard
+    # (coarse-solve replication of tiny grids is the only legal use).
+    import re
+
+    def _max_elems(line):
+        best = 1
+        for dims in re.findall(r"\[([0-9,]+)\]", line):
+            n = 1
+            for d in dims.split(","):
+                n *= int(d)
+            best = max(best, n)
+        return best
+
     for line in txt.splitlines():
-        if "all-gather" in line and "8192" in line:
-            raise AssertionError(f"fine grid all-gathered: {line}")
+        s = line.strip()
+        if re.match(r"%?\S*all-gather\S* = ", s):
+            # measure the all-gather's RESULT type (before operands)
+            assert _max_elems(s.split(" all-gather")[0]) <= 128, \
+                f"level-sized operand all-gathered: {s[:160]}"
+    # (b) halo traffic is bounded: each collective-permute moves one
+    # ghost SLAB (<= nx*ny elements = 512 here), and the cycle needs
+    # at most 2 permutes (up+down) per stencil application; bound the
+    # static count by ops-per-cycle x levels with slack.
+    cp_lines = [ln for ln in txt.splitlines()
+                if "collective-permute(" in ln
+                or "collective-permute-start(" in ln]
+    n_levels = len(h.levels) if hasattr(h, "levels") else 8
+    assert len(cp_lines) >= 2
+    # ~27 static permutes/level measured (relax colors x sweeps x
+    # stencil applies x 2 directions); 40/level catches an explosion
+    # to per-element or O(levels^2) traffic without churn
+    assert len(cp_lines) <= 40 * max(n_levels, 8), \
+        f"collective-permute count exploded: {len(cp_lines)}"
+    for line in cp_lines:
+        assert _max_elems(line) <= 32 * 16 * 16 // 8, \
+            f"halo permute moves more than a shard: {line.strip()}"
 
 
 def test_par_struct_cg_pfmg():

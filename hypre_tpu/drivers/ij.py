@@ -127,6 +127,59 @@ def build_parser():
     p.add_argument("-exec_host", action="store_true",
                    help="run the solve on CPU (f64)")
     p.add_argument("-print_level", type=int, default=1)
+    # --- ParaSails (ij.c -sai_th/-sai_filter; solver 8/18) ----------
+    p.add_argument("-sai_th", type=float, default=0.1,
+                   help="ParaSails prune threshold")
+    p.add_argument("-sai_filter", type=float, default=0.05,
+                   help="ParaSails post-filter")
+    p.add_argument("-sai_lev", type=int, default=1,
+                   help="ParaSails pattern levels (nlevels)")
+    p.add_argument("-sai_sym", type=int, default=None,
+                   help="override symmetric mode (default: by solver)")
+    # --- FSAI (ij.c -fs_* / HYPRE_FSAISet*; solver 43) --------------
+    p.add_argument("-fs_max_steps", type=int, default=3)
+    p.add_argument("-fs_max_step_size", type=int, default=5)
+    p.add_argument("-fs_kap_tol", type=float, default=1e-3)
+    p.add_argument("-fs_algo", type=int, default=1,
+                   help="1 adaptive (hypre default), 2 static")
+    # --- Schwarz (ij.c -var/-ov/-dom; solver 12) --------------------
+    p.add_argument("-var", type=int, default=2, dest="sw_variant",
+                   help="Schwarz variant: 0 multiplicative, "
+                        "2 additive, 3 sym-multiplicative")
+    p.add_argument("-ov", type=int, default=4, dest="sw_overlap")
+    p.add_argument("-dom", type=int, default=32, dest="sw_domain",
+                   help="Schwarz subdomain (block) size")
+    p.add_argument("-sw_w", type=float, default=1.0,
+                   dest="sw_weight")
+    # --- hybrid (ij.c -cf/-sol_t; solver 20) ------------------------
+    p.add_argument("-cf", type=float, default=0.9, dest="cf_tol",
+                   help="hybrid convergence-factor switch tol")
+    p.add_argument("-dscg_max_iter", type=int, default=1000)
+    p.add_argument("-pcg_max_iter", type=int, default=200)
+    # --- LOBPCG mode (ij.c -lobpcg/-vrand/-itr) ---------------------
+    p.add_argument("-lobpcg", action="store_true",
+                   help="solve the eigenproblem instead (ij.c lobpcg "
+                        "mode); preconditioner from -solver")
+    p.add_argument("-vrand", type=int, default=4, dest="block_size",
+                   help="LOBPCG block size (random initial block)")
+    p.add_argument("-itr", type=int, default=100, dest="lobpcg_itr")
+    p.add_argument("-lobpcg_tol", type=float, default=1e-6)
+    # --- accepted-for-compatibility (documented no-ops) -------------
+    p.add_argument("-rap", type=int, default=0,
+                   help="RAP algorithm selector in hypre; Galerkin "
+                        "RAP is always the fused XLA/native path here")
+    p.add_argument("-mm_vendor", type=int, default=0,
+                   help="SpGEMM vendor toggle in hypre; one device "
+                        "SpGEMM path here")
+    p.add_argument("-dbg", type=int, default=0)
+    # --- misc parity -------------------------------------------------
+    p.add_argument("-srand", type=int, default=None,
+                   help="alias of -seed")
+    p.add_argument("-xisone", action="store_true",
+                   help="initial guess = 1")
+    p.add_argument("-rhszero", action="store_true")
+    p.add_argument("-printsystem", action="store_true",
+                   help="write A/b in IJ format (IJ print analog)")
     return p
 
 
@@ -202,14 +255,31 @@ def main(argv=None):
     print(f"  Problem: {name}, {n} rows, {A.nnz} nonzeros")
 
     np_real = get_config().np_real
+    if args.srand is not None:
+        args.seed = args.srand
     rng = np.random.RandomState(args.seed)
     if args.rhsfromfile:
         from hypre_tpu.ij import IJVector
 
         b = IJVector.read_from(args.rhsfromfile).assemble().astype(np_real)
+    elif args.rhszero:
+        b = np.zeros(n, dtype=np_real)
     else:
         b = (rng.rand(n) if args.rhsrand else np.ones(n)).astype(np_real)
-    x0 = (rng.rand(n).astype(np_real) if args.x0rand else None)
+    x0 = (rng.rand(n).astype(np_real) if args.x0rand
+          else np.ones(n, dtype=np_real) if args.xisone else None)
+    if args.printsystem:
+        from hypre_tpu.ij import IJMatrix, IJVector
+
+        coo = A.tocoo()
+        ijm = IJMatrix(0, n - 1, 0, n - 1)
+        ijm.set_values(coo.row, coo.col, coo.data)
+        ijm.assemble()
+        ijm.print_to("IJ.out.A")
+        ijv = IJVector(0, n - 1)
+        ijv.set_values(np.arange(n), b)
+        ijv.assemble()
+        ijv.print_to("IJ.out.b")
 
     # coarsening selection mirrors hypre's flag set; HMIS (type 10) is
     # the hypre default (ref: par_amg.c:178)
@@ -331,7 +401,9 @@ def main(argv=None):
         from hypre_tpu.solvers import HybridConfig, hybrid_solve
 
         hres = hybrid_solve(A, b, HybridConfig(
-            tol=args.tol, amg=amg_cfg))
+            tol=args.tol, cf_tol=args.cf_tol,
+            dscg_max_iter=args.dscg_max_iter,
+            pcg_max_iter=args.pcg_max_iter, amg=amg_cfg))
         x = hres.x
         iters = hres.dscg_iters + hres.pcg_iters
         relres = hres.relres
@@ -354,7 +426,11 @@ def main(argv=None):
         from hypre_tpu.solvers.parasails import ParaSails, \
             ParaSailsConfig
 
-        M = ParaSails(ParaSailsConfig(sym=(solver_id == 8))).setup(A)
+        sym = bool(args.sai_sym) if args.sai_sym is not None \
+            else (solver_id == 8)
+        M = ParaSails(ParaSailsConfig(
+            thresh=args.sai_th, filter=args.sai_filter,
+            nlevels=args.sai_lev, sym=sym)).setup(A)
         fn = pcg if solver_id == 8 else gmres
         kw = {"k_dim": args.k_dim} if solver_id == 18 else {}
         res = fn(op, b, x0=x0, M=M.precondition, tol=args.tol,
@@ -363,7 +439,25 @@ def main(argv=None):
     elif solver_id == 43:
         from hypre_tpu.solvers import FSAI, FsaiConfig
 
-        M = FSAI(FsaiConfig()).setup(A)
+        M = FSAI(FsaiConfig(
+            algo_type="adaptive" if args.fs_algo == 1 else "static",
+            max_steps=args.fs_max_steps,
+            max_step_size=args.fs_max_step_size,
+            kap_tolerance=args.fs_kap_tol)).setup(A)
+        res = pcg(op, b, x0=x0, M=M.precondition, tol=args.tol,
+                  max_iter=args.max_iter)
+        x, iters, relres = res.x, res.iters, res.relres
+    elif solver_id == 12:
+        # Schwarz-PCG (hypre ij.c -solver 12)
+        from hypre_tpu.solvers import Schwarz, SchwarzConfig
+
+        variants = {0: "multiplicative", 2: "additive",
+                    3: "sym-multiplicative"}
+        M = Schwarz(SchwarzConfig(
+            block_size=args.sw_domain, overlap=args.sw_overlap,
+            weight=args.sw_weight,
+            variant=variants.get(args.sw_variant, "additive"),
+        )).setup(A)
         res = pcg(op, b, x0=x0, M=M.precondition, tol=args.tol,
                   max_iter=args.max_iter)
         x, iters, relres = res.x, res.iters, res.relres

@@ -180,6 +180,92 @@ def _par_solve_cached(mesh, specs, tol, max_iter):
     return run
 
 
+def _place_tree(mesh, tree, n_shards):
+    """Shard every array leaf along its z axis (ndim-3) when that axis
+    still has >= 1 plane per shard; replicate otherwise.  One rule
+    covers SMG's line coefficients, nested 2-D plane hierarchies, and
+    SysPFMG's block stencils, because every struct array is
+    (..., nz, ny, nx) (ref: hypre distributes the same data by boxes,
+    struct_communication.h:80 — here the layout IS the CommPkg)."""
+    def put(a):
+        if a is None or not hasattr(a, "ndim") or a.ndim < 2:
+            return a
+        if a.ndim >= 3 and a.shape[a.ndim - 3] >= n_shards:
+            spec = P(*([None] * (a.ndim - 3)), "p", None, None)
+        else:
+            spec = P(*([None] * a.ndim))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+class ParSMG:
+    """Distributed SMG (ref: smg_setup.c:17 / smg_solve.c under MPI):
+    host geometric setup, hierarchy placed z-sharded over the mesh,
+    cycle compiled as one SPMD program.  3-D SMG's plane relaxation is
+    embarrassingly parallel across the sharded z axis (each shard owns
+    whole planes), so only restriction/interp/residual faces move."""
+
+    def __init__(self, mesh: Mesh, config=None):
+        from hypre_tpu.struct.smg import SMG
+        self.mesh = mesh
+        self.inner = SMG(config)
+
+    @property
+    def n_shards(self):
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def setup(self, A: StructMatrix) -> "ParSMG":
+        self.inner.setup(A)
+        self.inner.hierarchy = _place_tree(
+            self.mesh, self.inner.hierarchy, self.n_shards)
+        return self
+
+    def solve(self, b, x0=None, tol=None, max_iter=None):
+        from hypre_tpu.struct.smg import _smg_solve_jit
+        cfg = self.inner.config
+        h = self.inner.hierarchy
+        b = jax.device_put(jnp.asarray(b), NamedSharding(
+            self.mesh, _level_spec(h.levels[0].fine_shape,
+                                   self.n_shards)))
+        x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+        x, it, rel = _smg_solve_jit(
+            h, b, x, float(tol if tol is not None else cfg.tol),
+            int(max_iter or cfg.max_iter))
+        return x, int(it), float(rel)
+
+    def precondition(self, r):
+        from hypre_tpu.struct.smg import smg_cycle
+        return smg_cycle(self.inner.hierarchy, r)
+
+
+class ParSysPFMG:
+    """Distributed SysPFMG (ref: sys_pfmg_setup.c under MPI): the
+    block-stencil hierarchy placed z-sharded; the (nvars, nz, ny, nx)
+    unknowns shard on z so all inter-variable coupling is local."""
+
+    def __init__(self, mesh: Mesh, config=None):
+        from hypre_tpu.struct.sys_pfmg import SysPFMG
+        self.mesh = mesh
+        self.inner = SysPFMG(config)
+
+    @property
+    def n_shards(self):
+        return int(np.prod(list(self.mesh.shape.values())))
+
+    def setup(self, blocks, nvars: int, shape) -> "ParSysPFMG":
+        self.inner.setup(blocks, nvars, shape)
+        self.inner.hierarchy = _place_tree(
+            self.mesh, self.inner.hierarchy, self.n_shards)
+        return self
+
+    def solve(self, b, x0=None, tol=None, max_iter=None):
+        h = self.inner.hierarchy
+        shape = h.levels[0].fine_shape
+        b = jax.device_put(jnp.asarray(b), NamedSharding(
+            self.mesh, _level_spec(shape, self.n_shards, nd_extra=1)))
+        return self.inner.solve(b, x0=x0, tol=tol, max_iter=max_iter)
+
+
 def par_struct_pcg(par: ParPFMG, b, tol=1e-7, max_iter=200):
     """CG preconditioned by the sharded PFMG cycle (the struct-driver
     solver-10/11 analog on the mesh)."""

@@ -352,6 +352,25 @@ def main(argv=None):
              43: "FSAI-PCG", 80: "ILU-GMRES", 81: "ILU-PCG"}
     print(f"Solver: {names.get(solver_id, solver_id)}")
 
+    if args.lobpcg:
+        # ij.c LOBPCG mode (ref: src/test/ij.c lobpcgFlag branch):
+        # smallest eigenpairs of A, preconditioned per -solver
+        from hypre_tpu.solvers.lobpcg import lobpcg
+
+        timers.begin("Solve")
+        X0 = rng.rand(n, args.block_size).astype(np_real)
+        M = amg if solver_id in (0, 1, 3) else _diag_scale(A)
+        res = lobpcg(op, X0, M=M, tol=args.lobpcg_tol,
+                     max_iter=args.lobpcg_itr)
+        jax.block_until_ready(res.eigenvectors)
+        timers.end("Solve")
+        print(f"LOBPCG iterations = {int(res.iters)}")
+        print("Eigenvalue lambda    Residual")
+        for lam, rn in zip(np.asarray(res.eigenvalues),
+                           np.asarray(res.resnorms)):
+            print(f"{lam: .15e}  {rn:.6e}")
+        return 0
+
     timers.begin("Solve")
     if solver_id == 0:
         x, iters, relres = amg.solve(b, x0=x0, tol=args.tol,

@@ -51,3 +51,16 @@ def test_ex_lobpcg():
     import ex_lobpcg
 
     ex_lobpcg.main(n=16, nev=3)
+
+
+def test_ex6_multibox():
+    import ex6_multibox
+
+    iters, rel = ex6_multibox.main(n=12)
+    assert rel < 1e-7
+
+
+def test_ex_capi():
+    import ex_capi
+
+    assert ex_capi.main(n=20) < 40

@@ -58,6 +58,17 @@ def test_sparse_msg_jump_region_converges():
     msg = SparseMSG(SparseMSGConfig(jump=1)).setup(A)
     b = np.ones((16, 16, 16))
     x, iters, rel = msg.solve(b, tol=1e-6, max_iter=60)
+    if not np.isfinite(rel):
+        # Late in the full suite the XLA CPU backend degrades after
+        # hundreds of compiles (same failure family as the SIGABRT the
+        # conftest module-scope cache clear works around) and has been
+        # seen emitting NaN from a program that is deterministic and
+        # correct in a fresh state (this test passes standalone).  One
+        # cache-cleared retry: a genuine numeric bug NaNs again.
+        import jax
+
+        jax.clear_caches()
+        x, iters, rel = msg.solve(b, tol=1e-6, max_iter=60)
     assert rel < 1e-6
 
 
